@@ -1,0 +1,491 @@
+"""The batch-round crawl engine: one DataFrame job pipeline per round.
+
+Spark-first re-expression of the reference's threaded frontier loop
+(SURVEY.md §3.1): each round is
+
+  frontier ──dequeue (priority top-k per host)──▶ batch
+  batch ──rank──▶ visit ordinals (distributed global rank)
+  batch ──fetch──▶ responses      (equi-join vs synthetic pages table;
+                                   production: mapInPandas HTTP per
+                                   host_bucket partition)
+  responses ──admission──▶ fetch_log + HTML pages
+  pages ──parse UDF──▶ spans ──native HOF──▶ outlinks
+  outlinks ──block rules / domain filter──▶ candidates + blocked sink
+  candidates ──normalize UDF──▶ url_key
+  candidates ──first-wins window──▶ in-batch dedup
+  candidates ──bloom prefilter + anti-join seen──▶ new frontier rows
+  sinks: visits / documents / fetch_log / blocked / frontier / seen
+         (parquet snapshot per round ⇒ resumable; Iceberg MERGE INTO
+          at production scale — same keys, same partitioning)
+
+Round = BFS depth layer when no politeness cap is set, which makes the
+visit order reproduce the single-worker reference order exactly
+(crawler/frontier.py:30,51 FIFO ⇒ sort by (depth, parent_ord,
+link_idx); see oracle/bfs.py). Politeness caps defer rows instead of
+dropping them — the documented divergence from the reference's silent
+Queue(maxsize=10_000) overflow drop.
+
+Scale design (100 TB / 10^10-URL frontier):
+- frontier & seen are hash-bucketed by host (host_bucket = xxhash64 %
+  NB): fetch partitions align with politeness isolation; hot hosts are
+  split by AQE skew-join + the per-host dequeue window.
+- the seen anti-join is bloom-prefiltered (operators/seen.py) so the
+  per-round exchange is proportional to maybe-seen candidates only.
+- visit ordinals come from a range-partitioned two-pass rank (no
+  single-partition window; operators/ranking.py).
+- per-round parquet snapshots truncate the iterative lineage and are
+  the checkpoint/resume unit (round-numbered ⇒ idempotent rewrites).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from web_crawler_spark.functions.html import (
+    extract_spans_udf,
+    needs_js_col,
+    outlink_spans_col,
+)
+from web_crawler_spark.functions.urls import (
+    allowed_domain_col,
+    canonical_id_udf,
+    classify_block_col,
+    normalize_url_udf,
+    registrable_host_col,
+    url_host,
+    url_path,
+)
+from web_crawler_spark.operators.politeness import dequeue_batch, host_budgets
+from web_crawler_spark.operators.ranking import first_wins, with_global_rank
+from web_crawler_spark.operators.robots import RobotsMatcher
+from web_crawler_spark.operators.seen import BroadcastBloom, anti_join_seen
+from web_crawler_spark.oracle.semantics import normalize_fetch_url
+
+MAX_RETRIES_429 = 2  # crawler/fetcher.py:17
+
+
+@dataclass
+class CrawlConfig:
+    state_dir: str
+    num_host_buckets: int = 64
+    max_per_host_round: int | None = None  # None = reference parity (no cap)
+    max_depth: int | None = None
+    max_rounds: int = 10_000
+    bloom_expected: int = 1_000_000
+    bloom_fpp: float = 0.01
+    use_bloom_min_seen: int = 50_000  # below this, plain anti-join is cheaper
+    rank_small_threshold: int = 100_000
+    respect_robots: bool = False
+    round_budget_ms: int = 60_000
+    user_agent: str = "web-crawler-spark"
+
+
+@dataclass
+class CrawlStats:
+    rounds: int = 0
+    total_visits: int = 0
+    per_round: list[dict] = field(default_factory=list)
+
+
+class CrawlEngine:
+    """Multi-site batch-round crawler over a synthetic (or fetched) web.
+
+    ``pages_df`` is the fetch source: FIXTURES.md §3 schema, keyed by
+    normalized fetch URL. Production swaps the equi-join for an HTTP
+    mapInPandas fetcher partitioned by host_bucket; everything else is
+    identical.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages_df: DataFrame,
+        sites_df: DataFrame,
+        robots_df: DataFrame | None = None,
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.cfg = config or CrawlConfig(state_dir="/tmp/wcs_state")
+        # frontier rows carry their own `host`; keep the pages side bare
+        self.pages = pages_df.drop("host")
+        self.sites = sites_df
+        self.robots = robots_df
+        self._robots_matcher = (
+            RobotsMatcher.from_df(robots_df, self.cfg.user_agent)
+            if (robots_df is not None and self.cfg.respect_robots)
+            else None
+        )
+        self._budgets = (
+            host_budgets(robots_df, self.cfg.round_budget_ms,
+                         self.cfg.max_per_host_round or 2**31 - 1)
+            if robots_df is not None and self.cfg.max_per_host_round is not None
+            else None
+        )
+        self.bloom: BroadcastBloom | None = None
+
+    # ------------------------------------------------------------------
+    # state-table helpers (parquet snapshots; Iceberg MERGE in production)
+    # ------------------------------------------------------------------
+    def _p(self, table: str, rnd: int | None = None) -> str:
+        base = os.path.join(self.cfg.state_dir, table)
+        return base if rnd is None else os.path.join(base, f"round={rnd}")
+
+    def _write(self, df: DataFrame, table: str, rnd: int) -> None:
+        df.write.mode("overwrite").parquet(self._p(table, rnd))
+
+    def _read_round(self, table: str, rnd: int) -> DataFrame:
+        return self.spark.read.parquet(self._p(table, rnd))
+
+    def read_all(self, table: str) -> DataFrame:
+        """All rounds of an append table (visits/documents/fetch_log/...)."""
+        base = self._p(table)
+        dirs = sorted(
+            os.path.join(base, d)
+            for d in os.listdir(base)
+            if d.startswith("round=")
+        )
+        return self.spark.read.option("basePath", base).parquet(*dirs)
+
+    def _write_meta(self, rnd: int, total_visits: int) -> None:
+        os.makedirs(self.cfg.state_dir, exist_ok=True)
+        tmp = os.path.join(self.cfg.state_dir, "_meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"round": rnd, "total_visits": total_visits}, f)
+        os.replace(tmp, os.path.join(self.cfg.state_dir, "_meta.json"))
+
+    def _read_meta(self) -> dict | None:
+        p = os.path.join(self.cfg.state_dir, "_meta.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    # ------------------------------------------------------------------
+    # seed preparation (reference main.py:90-137: enabled sites →
+    # resolve/normalize seed; driver-side, tiny dim)
+    # ------------------------------------------------------------------
+    def _seeds(self) -> list[tuple[int, str]]:
+        rows = (
+            self.sites.filter(F.col("enabled"))
+            .select("siteid", "url")
+            .collect()
+        )
+        return [(int(r["siteid"]), normalize_fetch_url(r["url"])) for r in rows]
+
+    def _seeds_dim(self, seeds: list[tuple[int, str]]) -> DataFrame:
+        return self.spark.createDataFrame(
+            seeds, "siteid int, seed_url string"
+        ).withColumn("seed_host_key", registrable_host_col(F.col("seed_url")))
+
+    def _frontier_row_cols(self, df: DataFrame) -> DataFrame:
+        host = url_host(F.col("url_key"))
+        return df.withColumn("host", host).withColumn(
+            "host_bucket",
+            F.pmod(F.xxhash64("host"), F.lit(self.cfg.num_host_buckets)).cast("int"),
+        )
+
+    # ------------------------------------------------------------------
+    # run / resume
+    # ------------------------------------------------------------------
+    def run(self, fresh: bool = True) -> CrawlStats:
+        if fresh and os.path.exists(self.cfg.state_dir):
+            shutil.rmtree(self.cfg.state_dir)
+
+        meta = self._read_meta() if not fresh else None
+        seeds = self._seeds()
+        seeds_dim = F.broadcast(self._seeds_dim(seeds))
+
+        if meta is None:
+            rnd, total_visits = 0, 0
+            frontier = self._frontier_row_cols(
+                self.spark.createDataFrame(
+                    [(sid, u, 0, 0, i) for i, (sid, u) in enumerate(seeds)],
+                    "siteid int, url_key string, depth int, parent_ord long,"
+                    " link_idx int",
+                ).withColumn("parent_key", F.lit(None).cast("string"))
+            )
+            seen_new = frontier.select(
+                "siteid", "url_key",
+                F.col("depth").alias("first_depth"),
+                F.lit(0).alias("round_seen"),
+            )
+            self._write(frontier, "frontier", 0)
+            self._write(seen_new, "seen", 0)
+            self._write_meta(0, 0)
+        else:
+            rnd, total_visits = meta["round"], meta["total_visits"]
+
+        frontier = self._read_round("frontier", rnd)
+        seen = self.read_all("seen").select("siteid", "url_key")
+        self.bloom = BroadcastBloom.empty(self.cfg.bloom_expected, self.cfg.bloom_fpp)
+        self.bloom.add_keys(seen, "url_key")
+
+        stats = CrawlStats(rounds=rnd, total_visits=total_visits)
+        pages = self.pages
+
+        while stats.rounds < self.cfg.max_rounds:
+            frontier_count = frontier.count()
+            if frontier_count == 0:
+                break
+            r = stats.rounds + 1
+
+            # -- dequeue ------------------------------------------------
+            batch, deferred = dequeue_batch(
+                frontier, self.cfg.max_per_host_round, self._budgets
+            )
+            batch_count = (
+                frontier_count
+                if self.cfg.max_per_host_round is None and self._budgets is None
+                else batch.count()
+            )
+            if batch_count == 0:
+                break
+
+            # -- visit ordinals (global BFS rank) ------------------------
+            batch = with_global_rank(
+                batch,
+                ["depth", "parent_ord", "link_idx"],
+                out="visit_ord",
+                start=stats.total_visits + 1,
+                small_threshold=self.cfg.rank_small_threshold,
+                known_count=batch_count,
+            ).join(seeds_dim, "siteid")
+
+            # -- fetch (equi-join vs pages; AQE broadcasts the small side)
+            fetched = batch.join(
+                pages, batch.url_key == pages.url, "left"
+            ).drop("url")
+            found = F.col("status_code").isNotNull()
+            retry_ok = F.coalesce(F.col("first_attempts_429"), F.lit(0)) <= MAX_RETRIES_429
+            ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))
+            is_2xx = F.col("status_code").between(200, 299)
+            ct_ok = ct.contains("text/html") | ct.contains("application/json")
+            success = found & retry_ok & is_2xx & ct_ok
+            error = (
+                F.when(~found, F.lit("connection error"))
+                .when(~retry_ok, F.lit("http error: 429"))
+                .when(~is_2xx, F.concat(F.lit("http error: "), F.col("status_code")))
+                .when(~ct_ok, F.concat(F.lit("ignored content type: "), ct))
+            )
+            fetched = fetched.withColumn("_success", success).withColumn(
+                "_error", error
+            )
+            fetched.persist()
+
+            # -- sinks: fetch_log + visits -------------------------------
+            self._write(
+                fetched.select(
+                    "siteid", "url_key", "depth",
+                    F.coalesce(
+                        F.when(~retry_ok, F.lit(429)), F.col("status_code"), F.lit(0)
+                    ).alias("status_code"),
+                    ct.alias("content_type"),
+                    F.col("_success").alias("success"),
+                    F.col("_error").alias("error"),
+                    "response_time_ms",
+                    "content_length",
+                    F.lit(r).alias("round"),
+                ),
+                "fetch_log",
+                r,
+            )
+            self._write(
+                fetched.select(
+                    "siteid", "url_key", "visit_ord", "depth", "parent_key",
+                    F.lit(r).alias("round"),
+                ),
+                "visits",
+                r,
+            )
+
+            # -- parse (HTML gate → spans UDF → native outlinks) ----------
+            html_rows = fetched.filter(
+                F.col("_success") & ct.contains("text/html")
+            ).select(
+                "siteid", "url_key", "visit_ord", "depth", "seed_url",
+                "seed_host_key", "html", "rendered_html",
+            )
+            base_key = registrable_host_col(F.col("url_key"))
+            parsed = html_rows.withColumn(
+                "spans1", extract_spans_udf(F.col("html"), F.col("url_key"))
+            ).withColumn(
+                "_use_rendered",
+                (F.size(outlink_spans_col(F.col("spans1"), base_key)) == 0)
+                & needs_js_col(F.col("html"))
+                & F.col("rendered_html").isNotNull(),
+            )
+            # only SPA rows pay the second parse: UDF sees NULL elsewhere
+            parsed = parsed.withColumn(
+                "spans",
+                F.when(
+                    F.col("_use_rendered"),
+                    extract_spans_udf(
+                        F.when(F.col("_use_rendered"), F.col("rendered_html")),
+                        F.col("url_key"),
+                    ),
+                ).otherwise(F.col("spans1")),
+            ).withColumn("outlinks", outlink_spans_col(F.col("spans"), base_key))
+            parsed = parsed.drop("spans1", "_use_rendered", "html", "rendered_html")
+            parsed.persist()
+
+            # -- documents sink (doc_id = canonical id vs the seed) -------
+            self._write(
+                parsed.select(
+                    canonical_id_udf(F.col("url_key"), F.col("seed_url")).alias(
+                        "doc_id"
+                    ),
+                    "siteid", "spans", "visit_ord",
+                    F.lit(r).alias("round"),
+                ),
+                "documents",
+                r,
+            )
+
+            # -- outlink candidates → admission pipeline ------------------
+            cand = parsed.select(
+                "siteid", "seed_url", "seed_host_key",
+                F.col("url_key").alias("parent_key"),
+                F.col("visit_ord").alias("parent_ord"),
+                (F.col("depth") + 1).alias("depth"),
+                F.posexplode("outlinks").alias("link_idx", "span"),
+            ).withColumn("u", F.col("span.media_ref")).drop("span")
+            cand = cand.withColumn("block_type", classify_block_col(F.col("u")))
+            domain_ok = allowed_domain_col(F.col("seed_url"), F.col("u"))
+            cand = cand.withColumn(
+                "block_type",
+                F.when(
+                    F.col("block_type").isNull() & ~domain_ok, F.lit("DOMAIN_FILTER")
+                ).otherwise(F.col("block_type")),
+            )
+            if self._robots_matcher is not None:
+                robots_ok = self._robots_matcher.allowed_udf()(
+                    url_host(F.col("u")),
+                    url_path(F.col("u")),
+                )
+                cand = cand.withColumn(
+                    "block_type",
+                    F.when(
+                        F.col("block_type").isNull() & ~robots_ok, F.lit("ROBOTS")
+                    ).otherwise(F.col("block_type")),
+                )
+            cand.persist()
+
+            blocked = cand.filter(F.col("block_type").isNotNull()).select(
+                "siteid",
+                F.col("u").alias("url"),
+                "block_type",
+                F.lit(r).alias("round"),
+            )
+            # fetch-stage rejects also land in the block report
+            # (worker.py:168-173)
+            blocked = blocked.unionByName(
+                fetched.filter(
+                    F.col("_error").startswith("ignored content type")
+                ).select(
+                    "siteid",
+                    F.col("url_key").alias("url"),
+                    F.lit("FETCH_IGNORED_CONTENT_TYPE").alias("block_type"),
+                    F.lit(r).alias("round"),
+                )
+            )
+            self._write(blocked, "blocked", r)
+
+            # -- normalize (the canonicalization Arrow UDF) + dedup -------
+            new_links = (
+                cand.filter(F.col("block_type").isNull())
+                .withColumn("url_key", normalize_url_udf(F.col("u")))
+                .drop("u", "block_type", "seed_url", "seed_host_key")
+            )
+            if self.cfg.max_depth is not None:
+                new_links = new_links.filter(
+                    F.col("depth") <= F.lit(self.cfg.max_depth)
+                )
+            # first-wins inside the batch (frontier.py:46-49 under BFS order)
+            new_links = first_wins(
+                new_links,
+                ["siteid", "url_key"],
+                ["depth", "parent_ord", "link_idx"],
+            )
+            # cross-round dedup: bloom prefilter + exact anti-join
+            bloom = (
+                self.bloom
+                if self.bloom.approx_items >= self.cfg.use_bloom_min_seen
+                else None
+            )
+            new_links = anti_join_seen(
+                new_links, seen, ["siteid", "url_key"], bloom
+            )
+            new_frontier = self._frontier_row_cols(
+                new_links.select(
+                    "siteid", "url_key", "depth", "parent_ord", "link_idx",
+                    "parent_key",
+                )
+            ).unionByName(deferred, allowMissingColumns=False)
+
+            # -- snapshot round state (checkpoint + lineage truncation) ---
+            self._write(new_frontier, "frontier", r)
+            seen_new = self._read_round("frontier", r).join(
+                deferred.select("siteid", "url_key"), ["siteid", "url_key"],
+                "left_anti",
+            ).select(
+                "siteid", "url_key",
+                F.col("depth").alias("first_depth"),
+                F.lit(r).alias("round_seen"),
+            )
+            self._write(seen_new, "seen", r)
+            self.bloom.add_keys(
+                self._read_round("seen", r).select("url_key"), "url_key"
+            )
+
+            stats.total_visits += batch_count
+            stats.rounds = r
+            stats.per_round.append(
+                {"round": r, "visited": batch_count, "frontier": frontier_count}
+            )
+            self._write_meta(r, stats.total_visits)
+
+            fetched.unpersist()
+            parsed.unpersist()
+            cand.unpersist()
+
+            frontier = self._read_round("frontier", r)
+            seen = self.read_all("seen").select("siteid", "url_key")
+
+        return stats
+
+    def resume(self) -> CrawlStats:
+        """Continue from the last committed round snapshot."""
+        return self.run(fresh=False)
+
+    # ------------------------------------------------------------------
+    # result views
+    # ------------------------------------------------------------------
+    def visits(self) -> DataFrame:
+        return self.read_all("visits")
+
+    def documents(self) -> DataFrame:
+        """Latest spans per (siteid, doc_id) — the oracle's last-write-wins
+        dict semantics (www-alias pages share a canonical doc_id)."""
+        docs = self.read_all("documents")
+        return first_wins(
+            docs.withColumn("_neg", -F.col("visit_ord")),
+            ["siteid", "doc_id"],
+            ["_neg"],
+        ).drop("_neg")
+
+    def seen_keys(self) -> DataFrame:
+        return self.read_all("seen").select("siteid", "url_key")
+
+    def blocked_report(self) -> DataFrame:
+        """A4/P10: per-rule counts + URL lists (worker.py:168-247)."""
+        return (
+            self.read_all("blocked")
+            .groupBy("block_type")
+            .agg(F.count("*").alias("count"), F.collect_list("url").alias("urls"))
+        )

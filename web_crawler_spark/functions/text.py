@@ -1,0 +1,213 @@
+"""Text-analysis kernels for training-data pipelines (task brief §extras).
+
+Everything here runs over the `documents(text)` table. Native
+expressions where Catalyst can express it (token counts, ratios,
+quality bands); Arrow-vectorized pandas UDFs for the genuinely
+procedural kernels (n-gram language ID, rolling-hash fingerprints,
+minhash signatures).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StringType
+
+# ---------------------------------------------------------------------------
+# token counting / quality scoring — native (JVM, codegen)
+# ---------------------------------------------------------------------------
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count (matches DuckDB
+    len(regexp_split_to_array(trim(text), '\\s+')))."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def alpha_ratio_col(text: Column) -> Column:
+    """Share of ASCII-alphabetic characters."""
+    n = F.length(text)
+    alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+    return F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+
+
+def stopword_hits_col(text: Column) -> Column:
+    """Count of common-English stopword occurrences (quality signal)."""
+    return F.size(
+        F.regexp_extract_all(
+            F.lower(text), F.lit(r"\b(the|a|and|of|to|in|is|it)\b"), F.lit(0)
+        )
+    )
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite [0,1] quality score: length, alpha ratio, stopword rate.
+    Deliberately simple arithmetic so the DuckDB oracle can mirror it."""
+    toks = token_count_col(text).cast("double")
+    stop_rate = F.when(toks > 0, stopword_hits_col(text) / toks).otherwise(F.lit(0.0))
+    len_score = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    return F.round(
+        0.4 * len_score + 0.4 * alpha_ratio_col(text) + 0.2 * F.least(
+            stop_rate * 5.0, F.lit(1.0)
+        ),
+        6,
+    )
+
+
+def quality_band_col(score: Column) -> Column:
+    return (
+        F.when(score < 0.25, "low")
+        .when(score < 0.5, "medium")
+        .when(score < 0.75, "high")
+        .otherwise("excellent")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish subword token estimate — native
+# ---------------------------------------------------------------------------
+
+
+def subword_count_col(text: Column) -> Column:
+    """Rough BPE token estimate: word pieces of ≤4 chars + punctuation
+    tokens, via regex segmentation (SQL-mirrorable)."""
+    return F.size(
+        F.regexp_extract_all(
+            text, F.lit(r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]"), F.lit(0)
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID — vectorized heuristic UDF (no SQL equivalent → rows-only check)
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "that", "with"),
+    "de": ("der", "die", "und", "ist", "nicht", "das"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+    "es": ("el", "la", "los", "que", "es", "una"),
+    "zh": (),  # detected by CJK codepoint ratio
+}
+
+
+def _detect_lang(text: str) -> str:
+    if not text:
+        return "und"
+    cjk = sum(1 for ch in text if "一" <= ch <= "鿿")
+    if cjk / max(len(text), 1) > 0.05:
+        return "zh"
+    words = text.lower().split()
+    if not words:
+        return "und"
+    bag = set(words)
+    best, best_hits = "und", 0
+    for lang, markers in _LANG_MARKERS.items():
+        hits = sum(1 for m in markers if m in bag)
+        if hits > best_hits:
+            best, best_hits = lang, hits
+    return best
+
+
+@F.pandas_udf(StringType())
+def language_id_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: _detect_lang(t if isinstance(t, str) else ""))
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting — rolling polynomial hash (UDF, rows-only check)
+# ---------------------------------------------------------------------------
+
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 131
+
+
+@F.pandas_udf(LongType())
+def rolling_fingerprint_udf(text: pd.Series) -> pd.Series:
+    """Deterministic polynomial rolling hash over bytes, mod 2^61-1."""
+
+    def fp(t: str) -> int:
+        h = 0
+        for b in (t or "").encode("utf-8", "ignore"):
+            h = (h * _FP_BASE + b) % _FP_MOD
+        return h
+
+    return text.map(lambda t: fp(t if isinstance(t, str) else ""))
+
+
+# ---------------------------------------------------------------------------
+# minhash signatures — numpy-vectorized over Arrow batches
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    t = (text or "").lower()
+    if len(t) < k:
+        grams = [t] if t else [""]
+    else:
+        grams = [t[i : i + k] for i in range(len(t) - k + 1)]
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+            & 0x7FFFFFFFFFFFFFFF
+            for g in set(grams)
+        ),
+        dtype=np.int64,
+        count=len(set(grams)),
+    )
+
+
+def make_minhash_udf(num_perm: int = 64, shingle_k: int = 5, seed: int = 7):
+    a, b = _perm_params(num_perm, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def minhash_sig(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            h = _shingle_hashes(t if isinstance(t, str) else "", shingle_k)
+            if len(h) == 0:
+                out.append([0] * num_perm)
+                continue
+            # (a*h + b) mod p, min over shingles, per permutation
+            vals = (h[None, :].astype(np.object_) * a[:, None] + b[:, None]) % _MERSENNE
+            out.append([int(v) for v in vals.min(axis=1)])
+        return pd.Series(out)
+
+    return minhash_sig
+
+
+# ---------------------------------------------------------------------------
+# simhash — 64-bit, numpy-vectorized
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    def sh(t: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in (t or "").lower().split():
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+            )
+            bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
+            acc += bits * 2 - 1
+        v = 0
+        for i in range(64):
+            if acc[i] > 0:
+                v |= 1 << i
+        return v - (1 << 64) if v >= (1 << 63) else v  # to signed int64
+
+    return text.map(lambda t: sh(t if isinstance(t, str) else ""))

@@ -1,0 +1,224 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, each a standalone DataFrame plan over `documents(doc_id,
+text)` (task brief: first-class components alongside SURVEY.md §2):
+
+- exact:    sha256(text) hash-groupBy. One shuffle on the 32-byte hash,
+            never on the text. Scale: partial agg map-side; hash is
+            uniform → no skew.
+- minhash:  shingle → minhash signature (Arrow UDF) → LSH banding →
+            bucket self-join → signature-similarity verify. The join
+            key is (band_id, band_hash) so candidate generation never
+            compares cross-bucket pairs — the classic sublinear path.
+- simhash:  64-bit simhash; near-dup = equal 16-bit chunk (4-band
+            blocking) + hamming ≤ threshold verify, all native bitwise.
+- ngram:    exact n-gram Jaccard on token sets via explode + self-join
+            (SQL-expressible; the verification tier for minhash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from web_crawler_spark.functions.text import make_minhash_udf, simhash_udf
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """One row per distinct content hash: copy count + keeper id (min id).
+    Output: content_hash, n_copies, keeper_id."""
+    return (
+        docs.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("keeper_id"),
+        )
+    )
+
+
+def exact_dedup_keep(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """The deduplicated table: keeps exactly the keeper row per hash."""
+    groups = exact_dedup_groups(docs, id_col, text_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return docs.join(groups, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate candidate pairs with estimated Jaccard ≥ threshold.
+
+    signature (Arrow UDF) → band rows (posexplode of band hashes) →
+    self-join inside (band, band_hash) buckets → dedupe pairs →
+    verify via signature agreement fraction. Output: id_a, id_b,
+    est_jaccard (id_a < id_b).
+    """
+    rows_per_band = num_perm // bands
+    sig_udf = make_minhash_udf(num_perm=num_perm, shingle_k=shingle_k)
+    sigs = docs.select(
+        F.col(id_col).alias("_id"), sig_udf(F.col(text_col)).alias("sig")
+    ).persist()
+
+    band_exprs = [
+        F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band)).alias(
+            f"b{i}"
+        )
+        for i in range(bands)
+    ]
+    banded = sigs.select("_id", *band_exprs)
+    stacked = banded.select(
+        "_id",
+        F.posexplode(F.array(*[F.col(f"b{i}") for i in range(bands)])).alias(
+            "band_id", "band_hash"
+        ),
+    )
+    left = stacked.alias("l")
+    right = stacked.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(sigs.select(F.col("_id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("_id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.aggregate(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.size("sig_a"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# simhash near-dup
+# ---------------------------------------------------------------------------
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by simhash: block on any equal 16-bit chunk
+    (guarantees recall for hamming ≤ 3 over 4 chunks), verify hamming
+    distance natively (bit_count of xor)."""
+    hashed = docs.select(
+        F.col(id_col).alias("_id"), simhash_udf(F.col(text_col)).alias("sh")
+    ).persist()
+    chunks = hashed.select(
+        "_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sh"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk_id") == F.col("r.chunk_id"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l.sh").alias("sh_a"),
+            F.col("r.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact; SQL-expressible verification tier)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets: explode n-grams → pair
+    co-occurrence counts → |A∩B| / (|A|+|B|−|A∩B|). Quadratic within
+    shared n-grams only — the exact-verify stage for LSH candidates."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("w"),
+    )
+    grams = toks.select(
+        "_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("w", i + 1, n)),
+            )
+        ).alias("grams"),
+    ).persist()
+    sizes = grams.select("_id", F.size("grams").alias("n_grams"))
+    exploded = grams.select("_id", F.explode("grams").alias("g"))
+    l, r = exploded.alias("l"), exploded.alias("r")
+    inter = (
+        l.join(r, (F.col("l.g") == F.col("r.g")) & (F.col("l._id") < F.col("r._id")))
+        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("n_grams").alias("na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("n_grams").alias("nb")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
