@@ -1,0 +1,101 @@
+"""Headline benchmark: runs the flagship query suite at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the noop sink (no driver
+collect; measures the distributed plan, not toPandas serialization).
+The crawl entry runs the fixture web end-to-end (multi-round engine)
+and additionally reports its URL/s in `extra`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "a1_source_summary",
+    "a3_token_distribution",
+    "j2_dim_join",
+    "o6_topk_per_group",
+    "so1_snapshot_compare",
+    "h1_content_hashes",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "ann_brute_force_topk",
+    "ann_lsh_topk",
+]
+
+
+def main() -> None:
+    from web_crawler_spark.queries import QUERIES
+    from web_crawler_spark.session import get_spark
+
+    spark = get_spark(
+        "bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def materialize(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        materialize(QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    # crawl engine end-to-end (fixture web; measures the round pipeline)
+    from web_crawler_spark.engine.crawl import CrawlConfig, CrawlEngine
+    from web_crawler_spark.fixtures.webgraph import (
+        WebGraphConfig,
+        generate_pages,
+        generate_sites,
+    )
+
+    cfg = WebGraphConfig(hosts=3, pages_per_host=24, seed=42)
+    pages = spark.createDataFrame(generate_pages(cfg))
+    sites = spark.createDataFrame(generate_sites(cfg))
+    state = f"/tmp/wcs_bench_{os.getpid()}"
+    eng = CrawlEngine(spark, pages, sites, config=CrawlConfig(state_dir=state))
+    t0 = time.time()
+    stats = eng.run(fresh=True)
+    crawl_s = time.time() - t0
+    timings["crawl_end_to_end"] = round(crawl_s, 3)
+
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "extra": {
+                    "crawl_urls_visited": stats.total_visits,
+                    "crawl_rounds": stats.rounds,
+                    "crawl_urls_per_sec": round(stats.total_visits / crawl_s, 3),
+                    "cpus": int(CPUS),
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
