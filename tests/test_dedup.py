@@ -1,0 +1,84 @@
+"""Dedup operator tests: prefix-filtered exact join ≡ naive join,
+planted near-duplicates are found by every tier, exact dedup keeps
+one keeper per content group."""
+
+from __future__ import annotations
+
+import pytest
+
+from web_crawler_spark.operators.dedup import (
+    exact_dedup_groups,
+    exact_dedup_keep,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_naive,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, BASE.replace("warm", "cold")),  # near dup of 1
+        (4, BASE.replace("quick brown", "slow red")),  # near dup
+        (5, "completely different text about spark dataframes and shuffles"),
+        (6, "another unrelated document mentioning parquet and iceberg tables"),
+        (7, BASE + " with an extra trailing clause appended at the end"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    groups = exact_dedup_groups(docs).toPandas()
+    dup = groups[groups["n_copies"] > 1]
+    assert len(dup) == 1
+    assert dup.iloc[0]["n_copies"] == 2
+    assert dup.iloc[0]["keeper_id"] == 1
+    kept = exact_dedup_keep(docs).toPandas()
+    assert len(kept) == 6
+    assert 2 not in set(kept["doc_id"])
+
+
+def test_prefix_filter_equals_naive(docs):
+    for n, t in [(2, 0.3), (3, 0.2), (1, 0.5)]:
+        fast = ngram_jaccard_pairs(docs, n=n, threshold=t).toPandas()
+        naive = ngram_jaccard_pairs_naive(docs, n=n, threshold=t).toPandas()
+        key = ["id_a", "id_b"]
+        fast = fast.sort_values(key).reset_index(drop=True)
+        naive = naive.sort_values(key).reset_index(drop=True)
+        assert fast.equals(naive), (n, t, fast, naive)
+
+
+def test_ngram_finds_planted_pairs(docs):
+    pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.5).toPandas()
+    got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert (1, 2) in got  # exact dup → jaccard 1.0
+    assert (1, 3) in got and (2, 3) in got
+    assert not any(5 in p or 6 in p for p in got)
+    j12 = pairs.set_index(["id_a", "id_b"]).loc[(1, 2), "jaccard"]
+    assert j12 == 1.0
+
+
+def test_minhash_finds_planted_pairs(docs):
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).toPandas()
+    got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert (1, 2) in got
+    assert (1, 3) in got
+    est12 = pairs.set_index(["id_a", "id_b"]).loc[(1, 2), "est_jaccard"]
+    assert est12 == 1.0
+    assert not any({5, 6} & set(p) for p in got)
+
+
+def test_simhash_finds_exact_dup(docs):
+    pairs = simhash_pairs(docs, max_hamming=3).toPandas()
+    got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert (1, 2) in got
+    h12 = pairs.set_index(["id_a", "id_b"]).loc[(1, 2), "hamming"]
+    assert h12 == 0

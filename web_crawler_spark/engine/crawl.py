@@ -70,6 +70,19 @@ from web_crawler_spark.oracle.semantics import normalize_fetch_url
 MAX_RETRIES_429 = 2  # crawler/fetcher.py:17
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers — driver-side metadata read, no
+    Spark job. Keeps the per-round loop free of count() stages."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
 @dataclass
 class CrawlConfig:
     state_dir: str
@@ -84,6 +97,14 @@ class CrawlConfig:
     respect_robots: bool = False
     round_budget_ms: int = 60_000
     user_agent: str = "web-crawler-spark"
+    # seen-set prefilter ahead of the exact anti-join:
+    #   "bloom"  — global broadcast bloom (lazy past use_bloom_min_seen)
+    #   "cuckoo" — per-host-bucket cuckoo filters maintained via
+    #              applyInPandas batch merges (north rule; supports
+    #              delete; shards broadcast per bucket)
+    #   "none"   — exact anti-join only
+    seen_filter: str = "bloom"
+    cuckoo_capacity_per_bucket: int = 1 << 16
 
 
 @dataclass
@@ -211,7 +232,7 @@ class CrawlEngine:
                 ).withColumn("parent_key", F.lit(None).cast("string"))
             )
             seen_new = frontier.select(
-                "siteid", "url_key",
+                "siteid", "url_key", "host_bucket",
                 F.col("depth").alias("first_depth"),
                 F.lit(0).alias("round_seen"),
             )
@@ -223,14 +244,42 @@ class CrawlEngine:
 
         frontier = self._read_round("frontier", rnd)
         seen = self.read_all("seen").select("siteid", "url_key")
-        self.bloom = BroadcastBloom.empty(self.cfg.bloom_expected, self.cfg.bloom_fpp)
-        self.bloom.add_keys(seen, "url_key")
+        # lazy bloom: only built (once, from the seen table) after the
+        # seen set outgrows the plain anti-join; below that the bloom
+        # build/collect per round is pure overhead
+        self.bloom = None
+        seen_count = sum(
+            _parquet_rows(self._p("seen", i)) for i in range(rnd + 1)
+        )
+        if (
+            self.cfg.seen_filter == "bloom"
+            and seen_count >= self.cfg.use_bloom_min_seen
+        ):
+            self.bloom = BroadcastBloom.empty(
+                max(self.cfg.bloom_expected, 2 * seen_count), self.cfg.bloom_fpp
+            )
+            self.bloom.add_keys(seen, "url_key")
+
+        # per-host-bucket cuckoo filters (north rule seen-set mechanism)
+        self._filters = None
+        if self.cfg.seen_filter == "cuckoo":
+            from web_crawler_spark.operators.cuckoo import build_filters
+
+            if meta is not None and os.path.exists(self._p("cuckoo", rnd)):
+                self._filters = self._read_round("cuckoo", rnd)
+            else:
+                self._filters = build_filters(
+                    self.read_all("seen"),
+                    capacity_per_bucket=self.cfg.cuckoo_capacity_per_bucket,
+                )
+                self._write(self._filters, "cuckoo", rnd)
+                self._filters = self._read_round("cuckoo", rnd)
 
         stats = CrawlStats(rounds=rnd, total_visits=total_visits)
         pages = self.pages
 
         while stats.rounds < self.cfg.max_rounds:
-            frontier_count = frontier.count()
+            frontier_count = _parquet_rows(self._p("frontier", stats.rounds))
             if frontier_count == 0:
                 break
             r = stats.rounds + 1
@@ -278,7 +327,8 @@ class CrawlEngine:
             )
             fetched.persist()
 
-            # -- sinks: fetch_log + visits -------------------------------
+            # -- sink: fetch_log (carries the visit columns too — one
+            # write instead of two; visits() is a projection view) ------
             self._write(
                 fetched.select(
                     "siteid", "url_key", "depth",
@@ -290,17 +340,11 @@ class CrawlEngine:
                     F.col("_error").alias("error"),
                     "response_time_ms",
                     "content_length",
+                    "visit_ord",
+                    "parent_key",
                     F.lit(r).alias("round"),
                 ),
                 "fetch_log",
-                r,
-            )
-            self._write(
-                fetched.select(
-                    "siteid", "url_key", "visit_ord", "depth", "parent_key",
-                    F.lit(r).alias("round"),
-                ),
-                "visits",
                 r,
             )
 
@@ -412,21 +456,34 @@ class CrawlEngine:
                 ["siteid", "url_key"],
                 ["depth", "parent_ord", "link_idx"],
             )
-            # cross-round dedup: bloom prefilter + exact anti-join
-            bloom = (
-                self.bloom
-                if self.bloom.approx_items >= self.cfg.use_bloom_min_seen
-                else None
-            )
-            new_links = anti_join_seen(
-                new_links, seen, ["siteid", "url_key"], bloom
-            )
-            new_frontier = self._frontier_row_cols(
+            new_links = self._frontier_row_cols(
                 new_links.select(
                     "siteid", "url_key", "depth", "parent_ord", "link_idx",
                     "parent_key",
                 )
-            ).unionByName(deferred, allowMissingColumns=False)
+            )
+            # cross-round dedup: prefilter + exact anti-join (FP-safe)
+            probed = None
+            if self._filters is not None:
+                from web_crawler_spark.operators.cuckoo import probe_candidates
+
+                probed = probe_candidates(new_links, self._filters).persist()
+                definite = probed.filter(~F.col("_maybe_seen")).drop(
+                    "_maybe_seen"
+                )
+                suspects = (
+                    probed.filter(F.col("_maybe_seen"))
+                    .drop("_maybe_seen")
+                    .join(seen, ["siteid", "url_key"], "left_anti")
+                )
+                new_links = definite.unionByName(suspects)
+            else:
+                new_links = anti_join_seen(
+                    new_links, seen, ["siteid", "url_key"], self.bloom
+                )
+            new_frontier = new_links.unionByName(
+                deferred, allowMissingColumns=False
+            )
 
             # -- snapshot round state (checkpoint + lineage truncation) ---
             self._write(new_frontier, "frontier", r)
@@ -434,14 +491,35 @@ class CrawlEngine:
                 deferred.select("siteid", "url_key"), ["siteid", "url_key"],
                 "left_anti",
             ).select(
-                "siteid", "url_key",
+                "siteid", "url_key", "host_bucket",
                 F.col("depth").alias("first_depth"),
                 F.lit(r).alias("round_seen"),
             )
             self._write(seen_new, "seen", r)
-            self.bloom.add_keys(
-                self._read_round("seen", r).select("url_key"), "url_key"
-            )
+            seen_count += _parquet_rows(self._p("seen", r))
+            if self._filters is not None:
+                from web_crawler_spark.operators.cuckoo import merge_new_keys
+
+                self._write(
+                    merge_new_keys(self._filters, self._read_round("seen", r)),
+                    "cuckoo",
+                    r,
+                )
+                self._filters = self._read_round("cuckoo", r)
+            if probed is not None:
+                probed.unpersist()
+            if self.bloom is not None:
+                self.bloom.add_keys(
+                    self._read_round("seen", r).select("url_key"), "url_key"
+                )
+            elif seen_count >= self.cfg.use_bloom_min_seen:
+                self.bloom = BroadcastBloom.empty(
+                    max(self.cfg.bloom_expected, 2 * seen_count),
+                    self.cfg.bloom_fpp,
+                )
+                self.bloom.add_keys(
+                    self.read_all("seen").select("url_key"), "url_key"
+                )
 
             stats.total_visits += batch_count
             stats.rounds = r
@@ -467,7 +545,9 @@ class CrawlEngine:
     # result views
     # ------------------------------------------------------------------
     def visits(self) -> DataFrame:
-        return self.read_all("visits")
+        return self.read_all("fetch_log").select(
+            "siteid", "url_key", "visit_ord", "depth", "parent_key", "round"
+        )
 
     def documents(self) -> DataFrame:
         """Latest spans per (siteid, doc_id) — the oracle's last-write-wins

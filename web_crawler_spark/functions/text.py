@@ -143,31 +143,31 @@ def rolling_fingerprint_udf(text: pd.Series) -> pd.Series:
 # minhash signatures — numpy-vectorized over Arrow batches
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+_P31 = np.uint64((1 << 31) - 1)  # Mersenne; a·h < 2^62 fits uint64 exactly
+_SHINGLE_BASE = 131
 
 
 def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    a = rng.randint(1, int(_P31), size=num_perm).astype(np.uint64)
+    b = rng.randint(0, int(_P31), size=num_perm).astype(np.uint64)
     return a, b
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    t = (text or "").lower()
-    if len(t) < k:
-        grams = [t] if t else [""]
+    """Distinct k-byte-shingle hashes, fully vectorized: sliding-window
+    polynomial hash mod 2^31−1 (terms sum < 2^42, exact in int64)."""
+    bs = np.frombuffer((text or "").lower().encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(bs) == 0:
+        return np.array([0], dtype=np.uint64)
+    if len(bs) < k:
+        win = bs[None, :]
+        powers = _SHINGLE_BASE ** np.arange(len(bs) - 1, -1, -1, dtype=np.int64)
     else:
-        grams = [t[i : i + k] for i in range(len(t) - k + 1)]
-    return np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-            & 0x7FFFFFFFFFFFFFFF
-            for g in set(grams)
-        ),
-        dtype=np.int64,
-        count=len(set(grams)),
-    )
+        win = np.lib.stride_tricks.sliding_window_view(bs, k)
+        powers = _SHINGLE_BASE ** np.arange(k - 1, -1, -1, dtype=np.int64)
+    h = (win.astype(np.int64) @ powers) % np.int64(_P31)
+    return np.unique(h.astype(np.uint64))
 
 
 def make_minhash_udf(num_perm: int = 64, shingle_k: int = 5, seed: int = 7):
@@ -178,12 +178,10 @@ def make_minhash_udf(num_perm: int = 64, shingle_k: int = 5, seed: int = 7):
         out = []
         for t in text:
             h = _shingle_hashes(t if isinstance(t, str) else "", shingle_k)
-            if len(h) == 0:
-                out.append([0] * num_perm)
-                continue
-            # (a*h + b) mod p, min over shingles, per permutation
-            vals = (h[None, :].astype(np.object_) * a[:, None] + b[:, None]) % _MERSENNE
-            out.append([int(v) for v in vals.min(axis=1)])
+            # (a·h + b) mod p, min over shingles, per permutation —
+            # all uint64 numpy, no Python big-int math
+            vals = (a[:, None] * h[None, :] + b[:, None]) % _P31
+            out.append(vals.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
 
     return minhash_sig

@@ -141,8 +141,12 @@ def anti_join_seen(
     by the exact join; false negatives are impossible)."""
     if bloom is None or bloom.approx_items == 0:
         return candidates.join(seen, key_cols, "left_anti")
-    with_h = candidates.select("*", *BroadcastBloom.hash_cols(bloom_col)).withColumn(
-        "_maybe", bloom.maybe_seen_udf()(F.col("_bh1"), F.col("_bh2"))
+    # persist: both branches below reference this plan — without the
+    # barrier the ENTIRE upstream candidate pipeline executes twice
+    with_h = (
+        candidates.select("*", *BroadcastBloom.hash_cols(bloom_col))
+        .withColumn("_maybe", bloom.maybe_seen_udf()(F.col("_bh1"), F.col("_bh2")))
+        .persist()
     )
     definite_new = with_h.filter(~F.col("_maybe"))
     suspects = with_h.filter(F.col("_maybe")).join(seen, key_cols, "left_anti")

@@ -545,6 +545,48 @@ def q_crawl_blocked_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing showcase (rows-only): binary payloads →
+    mapInPandas decode → typed metadata + resize plan + frame counts."""
+    from pyspark.sql import functions as F2
+
+    from web_crawler_spark.fixtures.media import generate_media
+    from web_crawler_spark.operators.multimodal import decode_media, resize_plan
+
+    media = spark.createDataFrame(generate_media(n=60))
+    dec = resize_plan(decode_media(media), max_dim=256)
+    return dec.select(
+        "media_ref", "kind", "width", "height", "duration_ms", "n_frames",
+        "target_width", "target_height", "payload_bytes",
+        (F2.col("ok") == "ok").alias("decoded_ok"),
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram features per payload + cosine self-similarity of
+    the first feature vector against the rest (rows-only)."""
+    from pyspark.sql import functions as F2
+
+    from web_crawler_spark.fixtures.media import generate_media
+    from web_crawler_spark.operators.multimodal import extract_features
+
+    media = spark.createDataFrame(generate_media(n=60))
+    feats = extract_features(media, bins=64)
+    return feats.select(
+        "media_ref",
+        "kind",
+        F2.size("features").alias("n_dims"),
+        F2.round(
+            F2.aggregate(
+                F2.transform("features", lambda x: x * x),
+                F2.lit(0.0),
+                lambda a, v: a + v,
+            ),
+            4,
+        ).alias("l2_norm_sq"),
+    )
+
+
 def q_x1_parse_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 parse showcase: fixture HTML → interleaved span arrays via
     the vectorized parser (rows-only; span equality is pytest-gated)."""
@@ -593,6 +635,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_documents": q_crawl_documents,
     "crawl_blocked_report": q_crawl_blocked_report,
     "x1_parse_spans": q_x1_parse_spans,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -611,5 +655,7 @@ ORACLES: dict[str, str] = {
     "text_quality": ORACLE_TEXT_QUALITY,
     "ann_brute_force_topk": ORACLE_ANN,
     # no oracle (rows-only, by design): dedup_minhash_lsh, dedup_simhash,
-    # lang_id, fingerprints, ann_lsh_topk, crawl_*, x1_parse_spans
+    # lang_id, fingerprints, ann_lsh_topk, crawl_*, x1_parse_spans,
+    # multimodal_* (UDF/iterative/binary ops that ANSI SQL can't express;
+    # pytest gates their semantics against pure-Python oracles instead)
 }

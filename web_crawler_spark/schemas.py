@@ -79,6 +79,7 @@ SEEN_SCHEMA = StructType(
     [
         StructField("siteid", IntegerType(), False),
         StructField("url_key", StringType(), False),
+        StructField("host_bucket", IntegerType()),
         StructField("first_depth", IntegerType()),
         StructField("round_seen", IntegerType()),
     ]
@@ -106,6 +107,8 @@ FETCH_LOG_SCHEMA = StructType(
         StructField("error", StringType()),
         StructField("response_time_ms", IntegerType()),
         StructField("content_length", LongType()),
+        StructField("visit_ord", LongType()),
+        StructField("parent_key", StringType()),
         StructField("round", IntegerType()),
     ]
 )
