@@ -1,0 +1,92 @@
+"""Plan audit: .explain() the headline queries and assert the physical
+properties the design claims — filter/column pushdown to the parquet
+scans, broadcast joins for small dims, whole-stage codegen for native
+queries, Arrow (not row) Python evaluation where UDFs are required.
+
+Usage: python tools/explain_audit.py          # prints a PASS/FAIL table
+       python tools/explain_audit.py -v NAME  # dump one query's plan
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# query → (must_contain, must_not_contain) over the formatted plan text
+CHECKS: dict[str, tuple[list[str], list[str]]] = {
+    # native analytics: codegen, pushdown, no Python anywhere
+    "a1_source_summary": (
+        # partial (map-side) + final aggregate, no Python
+        ["HashAggregate (2)", "HashAggregate (4)"],
+        ["BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "a6_distinct_scan": (
+        ["EqualTo(o_orderstatus,O)"],
+        ["BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "o6_topk_per_group": (
+        # rank-limit pushed below the exchange (WindowGroupLimit, Spark 3.5+)
+        ["Window", "WindowGroupLimit"],
+        ["BatchEvalPython", "ArrowEvalPython"],
+    ),
+    # dim joins must broadcast, filters must reach the scan
+    "j2_dim_join": (
+        ["BroadcastHashJoin", "LessThan(p_size,10)"],
+        ["SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "ann_brute_force_topk": (
+        ["BroadcastNestedLoopJoin"],
+        ["BatchEvalPython", "ArrowEvalPython"],
+    ),
+    # UDF queries must be Arrow-vectorized, never row-oriented Python
+    "dedup_minhash_lsh": (["ArrowEvalPython"], ["BatchEvalPython"]),
+    "lang_id": (["ArrowEvalPython"], ["BatchEvalPython"]),
+    # column pruning: hash query reads only the two needed columns
+    "h1_content_hashes": (
+        ["ReadSchema: struct<doc_id:bigint,text:string>"],
+        ["BatchEvalPython", "ArrowEvalPython", "n_chars"],
+    ),
+}
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    from web_crawler_spark.queries import QUERIES
+    from web_crawler_spark.session import get_spark
+
+    spark = get_spark("explain_audit", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if len(sys.argv) > 2 and sys.argv[1] == "-v":
+        print(plan_text(QUERIES[sys.argv[2]](spark, SF_DIR)))
+        return 0
+
+    failures = 0
+    for name, (must, must_not) in CHECKS.items():
+        text = plan_text(QUERIES[name](spark, SF_DIR))
+        missing = [m for m in must if m not in text]
+        present = [m for m in must_not if m in text]
+        if missing or present:
+            failures += 1
+            print(f"FAIL {name}: missing={missing} forbidden-present={present}")
+        else:
+            print(f"pass {name}")
+    spark.stop()
+    print("AUDIT", "FAILED" if failures else "OK")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

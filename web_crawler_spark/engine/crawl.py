@@ -105,6 +105,9 @@ class CrawlConfig:
     #   "none"   — exact anti-join only
     seen_filter: str = "bloom"
     cuckoo_capacity_per_bucket: int = 1 << 16
+    # two-phase salted top-k dequeue for hot hosts (None = single window
+    # per host; set ~16-64 when a host can hold >10^6 frontier rows)
+    dequeue_salts: int | None = None
 
 
 @dataclass
@@ -286,7 +289,8 @@ class CrawlEngine:
 
             # -- dequeue ------------------------------------------------
             batch, deferred = dequeue_batch(
-                frontier, self.cfg.max_per_host_round, self._budgets
+                frontier, self.cfg.max_per_host_round, self._budgets,
+                self.cfg.dequeue_salts,
             )
             batch_count = (
                 frontier_count

@@ -51,21 +51,42 @@ def dequeue_batch(
     frontier: DataFrame,
     max_per_host: int | None = None,
     budgets: DataFrame | None = None,
+    num_salts: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split the frontier into (batch, deferred) by BFS priority within
     each (siteid, host) partition. No cap → whole frontier is the batch
-    (exact reference parity: global FIFO, depth-layer rounds)."""
+    (exact reference parity: global FIFO, depth-layer rounds).
+
+    ``num_salts`` enables the hot-host two-phase top-k: a first window
+    over (siteid, host, hash(url_key) % num_salts) keeps only ≤cap rows
+    per salt shard — a 10^7-row host never lands in one window
+    partition; the exact final window then sees at most num_salts·cap
+    rows per host. Result is identical to the unsalted plan (the global
+    top-cap rows are top-cap within their shard)."""
     if max_per_host is None and budgets is None:
         return frontier, frontier.limit(0)
-    w = Window.partitionBy("siteid", "host").orderBy(*PRIORITY_COLS)
-    ranked = frontier.withColumn("_hr", F.row_number().over(w))
     if budgets is not None:
-        ranked = ranked.join(F.broadcast(budgets), "host", "left").withColumn(
+        capped = frontier.join(F.broadcast(budgets), "host", "left").withColumn(
             "_cap", F.coalesce(F.col("_tokens"), F.lit(max_per_host or 2**31 - 1))
         )
     else:
-        ranked = ranked.withColumn("_cap", F.lit(max_per_host))
-    batch = ranked.filter(F.col("_hr") <= F.col("_cap"))
-    deferred = ranked.filter(F.col("_hr") > F.col("_cap"))
-    drop = [c for c in ("_hr", "_cap", "_tokens") if c in ranked.columns]
+        capped = frontier.withColumn("_cap", F.lit(max_per_host))
+
+    pre_deferred = None
+    src = capped
+    if num_salts and num_salts > 1:
+        w1 = Window.partitionBy(
+            "siteid", "host", F.pmod(F.xxhash64("url_key"), F.lit(num_salts))
+        ).orderBy(*PRIORITY_COLS)
+        r1 = capped.withColumn("_sr", F.row_number().over(w1))
+        src = r1.filter(F.col("_sr") <= F.col("_cap")).drop("_sr")
+        pre_deferred = r1.filter(F.col("_sr") > F.col("_cap")).drop("_sr")
+
+    w = Window.partitionBy("siteid", "host").orderBy(*PRIORITY_COLS)
+    ranked = src.withColumn("_hr", F.row_number().over(w))
+    batch = ranked.filter(F.col("_hr") <= F.col("_cap")).drop("_hr")
+    deferred = ranked.filter(F.col("_hr") > F.col("_cap")).drop("_hr")
+    if pre_deferred is not None:
+        deferred = deferred.unionByName(pre_deferred)
+    drop = [c for c in ("_cap", "_tokens") if c in deferred.columns]
     return batch.drop(*drop), deferred.drop(*drop)
