@@ -183,6 +183,12 @@ class CrawlEngine:
             json.dump({"round": rnd, "total_visits": total_visits}, f)
         os.replace(tmp, os.path.join(self.cfg.state_dir, "_meta.json"))
 
+    def _append_metrics(self, m: dict) -> None:
+        """F6/F8 + north-rule lineage: one metrics record per committed
+        round (driver-side, parquet-footer counts — zero extra jobs)."""
+        with open(os.path.join(self.cfg.state_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(m) + "\n")
+
     def _read_meta(self) -> dict | None:
         p = os.path.join(self.cfg.state_dir, "_meta.json")
         if not os.path.exists(p):
@@ -527,9 +533,18 @@ class CrawlEngine:
 
             stats.total_visits += batch_count
             stats.rounds = r
-            stats.per_round.append(
-                {"round": r, "visited": batch_count, "frontier": frontier_count}
-            )
+            round_metrics = {
+                "round": r,
+                "visited": batch_count,
+                "frontier": frontier_count,
+                "deferred": frontier_count - batch_count,
+                "new_frontier": _parquet_rows(self._p("frontier", r)),
+                "new_seen": _parquet_rows(self._p("seen", r)),
+                "blocked": _parquet_rows(self._p("blocked", r)),
+                "documents": _parquet_rows(self._p("documents", r)),
+            }
+            stats.per_round.append(round_metrics)
+            self._append_metrics(round_metrics)
             self._write_meta(r, stats.total_visits)
 
             fetched.unpersist()
@@ -565,6 +580,62 @@ class CrawlEngine:
 
     def seen_keys(self) -> DataFrame:
         return self.read_all("seen").select("siteid", "url_key")
+
+    def metrics(self) -> DataFrame:
+        """Per-round metrics table (F6/F8): one row per committed round."""
+        p = os.path.join(self.cfg.state_dir, "metrics.jsonl")
+        return self.spark.read.json(p)
+
+    def partition_lineage(self) -> DataFrame:
+        """North-rule per-partition lineage: per (round, host_bucket)
+        counts of frontier rows and seen keys — which bucket produced
+        what, when; joins back to any round snapshot by (round,
+        host_bucket)."""
+        f = self.read_all("frontier").groupBy("round", "host_bucket").agg(
+            F.count("*").alias("frontier_rows"),
+            F.countDistinct("host").alias("hosts"),
+        )
+        s = (
+            self.read_all("seen")
+            .groupBy("round", "host_bucket")
+            .agg(F.count("*").alias("seen_keys"))
+            .withColumnRenamed("round", "r2")
+            .withColumnRenamed("host_bucket", "b2")
+        )
+        return f.join(
+            s,
+            (F.col("round") == F.col("r2")) & (F.col("host_bucket") == F.col("b2")),
+            "full_outer",
+        ).select(
+            F.coalesce("round", "r2").alias("round"),
+            F.coalesce("host_bucket", "b2").alias("host_bucket"),
+            F.coalesce("frontier_rows", F.lit(0)).alias("frontier_rows"),
+            F.coalesce("hosts", F.lit(0)).alias("hosts"),
+            F.coalesce("seen_keys", F.lit(0)).alias("seen_keys"),
+        )
+
+    def consistency_check(self) -> dict:
+        """A2 (audit_run.py:114-115): per-round totals must add up —
+        every dequeued URL is accounted for in the fetch log, and
+        fetch_log splits exactly into success + failure classes.
+        Raises AssertionError on violation; returns the totals."""
+        fl = self.read_all("fetch_log")
+        agg = fl.agg(
+            F.count("*").alias("total"),
+            F.count(F.when(F.col("success"), 1)).alias("ok"),
+            F.count(F.when(~F.col("success") & F.col("error").startswith("ignored"), 1)).alias("ignored"),
+            F.count(
+                F.when(~F.col("success") & ~F.col("error").startswith("ignored"), 1)
+            ).alias("failed"),
+        ).collect()[0]
+        total, ok, ignored, failed = (
+            agg["total"], agg["ok"], agg["ignored"], agg["failed"]
+        )
+        assert total == ok + ignored + failed, (total, ok, ignored, failed)
+        meta = self._read_meta()
+        if meta is not None:
+            assert total == meta["total_visits"], (total, meta["total_visits"])
+        return {"total": total, "ok": ok, "ignored": ignored, "failed": failed}
 
     def blocked_report(self) -> DataFrame:
         """A4/P10: per-rule counts + URL lists (worker.py:168-247)."""

@@ -153,3 +153,19 @@ def script_sources_udf(html: pd.Series, base_url: pd.Series) -> pd.Series:
 def needs_js_udf(html: pd.Series) -> pd.Series:
     """Pure-python SPA heuristic, for parity testing the native column."""
     return html.map(lambda h: sem.needs_js_rendering(h if isinstance(h, str) else ""))
+
+
+def token_multiset_col(html: Column) -> Column:
+    """X7/SO5 token multiset as a sorted array — two documents have
+    equal word multisets (detector.py:34-37,120) iff their sorted token
+    arrays are equal. Native split/filter/array_sort; no Python."""
+    toks = F.split(
+        F.lower(F.regexp_replace(F.coalesce(html, F.lit("")), "<[^>]+>", " ")),
+        "[^0-9a-z_]+",
+    )
+    return F.array_sort(F.filter(toks, lambda x: x != ""))
+
+
+def token_multiset_equal_col(a_html: Column, b_html: Column) -> Column:
+    """SO5: token-multiset equality between two HTML documents."""
+    return token_multiset_col(a_html) == token_multiset_col(b_html)
