@@ -545,6 +545,63 @@ def q_crawl_blocked_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compare_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPARE-mode pipeline (J2/J3 + H3 + A8/A9, rows-only): baselines
+    from the fixture web, three mutated observations, full join+score
+    plan; severity rollup as output (deterministic)."""
+    from web_crawler_spark.engine.compare import (
+        build_baselines,
+        compare_observations,
+        observations_summary,
+        observe_pages,
+    )
+    from web_crawler_spark.fixtures.webgraph import WebGraphConfig, generate_pages
+
+    pages = generate_pages(WebGraphConfig(hosts=2, pages_per_host=8))
+    pages = pages[pages["content_type"].str.contains("text/html")].copy()
+    pages["siteid"] = 1
+    obs = pages.copy().reset_index(drop=True)
+    obs.loc[2, "html"] = "<html><body><h1>DEFACED</h1></body></html>"
+    obs.loc[4, "html"] = obs.loc[4, "html"].replace("Page", "Defaced page")
+    base = build_baselines(
+        spark.createDataFrame(pages).withColumnRenamed("url", "url_key")
+    )
+    o = observe_pages(
+        spark.createDataFrame(obs).withColumnRenamed("url", "url_key")
+    )
+    return observations_summary(compare_observations(o, base)).orderBy("severity")
+
+
+def q_a3_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 classification distribution (analysis_generator.py:30-48,
+    rows-only): classify fixture URLs via the multi-label UDF, explode,
+    count per type with a deterministic ordered sample."""
+    from web_crawler_spark.fixtures.webgraph import WebGraphConfig, generate_pages
+    from web_crawler_spark.functions.urls import classify_url_udf
+
+    pages = spark.createDataFrame(
+        generate_pages(WebGraphConfig(hosts=2, pages_per_host=12))
+    )
+    extra = spark.createDataFrame(
+        [
+            ("https://h.test/page/2/",),
+            ("https://h.test/assets/x.png",),
+            ("https://h.test/theme.css",),
+            ("https://h.test/api/v1/items",),
+        ],
+        "url string",
+    )
+    urls = pages.select("url").unionByName(extra)
+    return (
+        urls.select("url", F.explode(classify_url_udf(F.col("url"))).alias("type"))
+        .groupBy("type")
+        .agg(
+            F.count("*").alias("count"),
+            F.slice(F.sort_array(F.collect_list("url")), 1, 3).alias("sample"),
+        )
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing showcase (rows-only): binary payloads →
     mapInPandas decode → typed metadata + resize plan + frame counts."""
@@ -637,6 +694,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x1_parse_spans": q_x1_parse_spans,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_features": q_multimodal_features,
+    "compare_observations": q_compare_observations,
+    "a3_classification": q_a3_classification,
 }
 
 ORACLES: dict[str, str] = {
