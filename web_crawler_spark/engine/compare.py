@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from web_crawler_spark.functions.html import (
     defacement_score_udf,
+    diff_artifact_udf,
     script_sources_udf,
     semantic_hash_col,
     severity_col,
@@ -51,6 +52,7 @@ def compare_observations(
     selected: DataFrame | None = None,
     site_col: str = "siteid",
     key_col: str = "url_key",
+    include_diff: bool = False,
 ) -> DataFrame:
     """Join observed pages to baselines and score changes.
 
@@ -60,7 +62,9 @@ def compare_observations(
                compared (defacement_sites 'selected' rows, J2).
 
     Output: siteid, url_key, baseline_hash, observed_hash, changed,
-    defacement_score, severity, scripts_added, scripts_removed.
+    defacement_score, severity, scripts_added, scripts_removed
+    [, diff_artifact JSON when include_diff — changed rows only,
+    compare_utils.py:160-282 side-by-side semantics].
     """
     obs = observed
     if selected is not None:
@@ -111,7 +115,7 @@ def compare_observations(
             F.array().cast("array<string>")
         ),
     )
-    return scored.select(
+    out_cols = [
         site_col,
         key_col,
         "baseline_hash",
@@ -121,7 +125,20 @@ def compare_observations(
         "severity",
         "scripts_added",
         "scripts_removed",
-    )
+    ]
+    if include_diff:
+        scored = scored.withColumn(
+            "diff_artifact",
+            F.when(
+                changed,
+                diff_artifact_udf(
+                    F.when(changed, F.col("baseline_html")),
+                    F.when(changed, F.col("html")),
+                ),
+            ),
+        )
+        out_cols.append("diff_artifact")
+    return scored.select(*out_cols)
 
 
 def build_baselines(pages: DataFrame, site_col: str = "siteid",
@@ -136,6 +153,42 @@ def build_baselines(pages: DataFrame, site_col: str = "siteid",
         semantic_hash_col(F.col(html_col)).alias("baseline_hash"),
         F.col(html_col).alias("baseline_html"),
     ).dropDuplicates([site_col, key_col])
+
+
+def baseline_upsert(
+    existing: DataFrame | None,
+    pages: DataFrame,
+    site_col: str = "siteid",
+    key_col: str = "url_key",
+    html_col: str = "html",
+) -> tuple[DataFrame, DataFrame]:
+    """BASELINE-mode upsert with A7 action accounting
+    (baseline_store.py:58-95 + baseline_worker.py:33-78): a page whose
+    (siteid, url_key) already has a baseline row is 'updated' (the
+    reference overwrites file + row in place regardless of hash), else
+    'created'.
+
+    Returns (merged_baselines, actions) where actions = per-action
+    counts (the reference's end-of-run counters). Production: a single
+    Iceberg `MERGE INTO baselines` — this is the DataFrame the merge
+    would leave behind, plus the audit the counters provide."""
+    new = build_baselines(pages, site_col, key_col, html_col)
+    if existing is None:
+        actions = new.select(F.lit("created").alias("action")).groupBy(
+            "action"
+        ).agg(F.count("*").alias("count"))
+        return new, actions
+    keys = existing.select(site_col, key_col).withColumn("_had", F.lit(1))
+    tagged = new.join(keys, [site_col, key_col], "left").withColumn(
+        "action",
+        F.when(F.col("_had").isNotNull(), "updated").otherwise("created"),
+    )
+    actions = tagged.groupBy("action").agg(F.count("*").alias("count"))
+    merged = tagged.drop("_had", "action").unionByName(
+        existing.join(new.select(site_col, key_col), [site_col, key_col],
+                      "left_anti")
+    )
+    return merged, actions
 
 
 def script_injection_scan(

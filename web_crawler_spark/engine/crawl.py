@@ -133,7 +133,12 @@ class CrawlEngine:
         sites_df: DataFrame,
         robots_df: DataFrame | None = None,
         config: CrawlConfig | None = None,
+        fetcher=None,
     ):
+        """``fetcher``: optional batch-fetch callback (operators/fetch.py
+        contract). When set, fetching runs via mapInPandas per
+        host_bucket partition (the production HTTP seam) instead of the
+        synthetic pages equi-join; result columns are identical."""
         self.spark = spark
         self.cfg = config or CrawlConfig(state_dir="/tmp/wcs_state")
         # frontier rows carry their own `host`; keep the pages side bare
@@ -152,6 +157,7 @@ class CrawlEngine:
             else None
         )
         self.bloom: BroadcastBloom | None = None
+        self._fetcher = fetcher
 
     # ------------------------------------------------------------------
     # state-table helpers (parquet snapshots; Iceberg MERGE in production)
@@ -316,10 +322,19 @@ class CrawlEngine:
                 known_count=batch_count,
             ).join(seeds_dim, "siteid")
 
-            # -- fetch (equi-join vs pages; AQE broadcasts the small side)
-            fetched = batch.join(
-                pages, batch.url_key == pages.url, "left"
-            ).drop("url")
+            # -- fetch: mapInPandas callback per host_bucket partition
+            # (production HTTP seam) or equi-join vs the synthetic pages
+            # table (AQE broadcasts the small side)
+            if self._fetcher is not None:
+                from web_crawler_spark.operators.fetch import fetch_with_callback
+
+                fetched = fetch_with_callback(
+                    batch, self._fetcher, self.cfg.num_host_buckets
+                )
+            else:
+                fetched = batch.join(
+                    pages, batch.url_key == pages.url, "left"
+                ).drop("url")
             found = F.col("status_code").isNotNull()
             retry_ok = F.coalesce(F.col("first_attempts_429"), F.lit(0)) <= MAX_RETRIES_429
             ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))

@@ -169,3 +169,17 @@ def token_multiset_col(html: Column) -> Column:
 def token_multiset_equal_col(a_html: Column, b_html: Column) -> Column:
     """SO5: token-multiset equality between two HTML documents."""
     return token_multiset_col(a_html) == token_multiset_col(b_html)
+
+
+@F.pandas_udf(StringType())
+def diff_artifact_udf(baseline_html: pd.Series, observed_html: pd.Series) -> pd.Series:
+    """Structured side-by-side diff artifact as JSON
+    (compare_utils.py:55-282 semantics via oracle/diffs.py)."""
+    from web_crawler_spark.oracle.diffs import diff_artifact_json
+
+    return pd.Series(
+        [
+            diff_artifact_json(b or "", o or "")
+            for b, o in zip(baseline_html, observed_html)
+        ]
+    )
