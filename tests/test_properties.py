@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) over the pure-Python kernels that
+back the Arrow UDFs — no SparkSession needed, so these fuzz thousands
+of cases cheaply."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from web_crawler_spark.operators.cuckoo import CuckooFilter
+from web_crawler_spark.oracle.diffs import diff_artifact
+from web_crawler_spark.oracle.scoring import defacement_percentage
+from web_crawler_spark.oracle.semantics import (
+    canonical_id,
+    normalize_fetch_url,
+)
+
+url_chars = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters=":/.?#&=-_~%"
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(url_chars)
+@settings(max_examples=300, deadline=None)
+def test_normalize_idempotent(raw):
+    try:
+        once = normalize_fetch_url(raw)
+    except Exception:
+        return  # unparseable garbage may raise; vectorized path nulls it
+    assert normalize_fetch_url(once) == once
+
+
+@given(url_chars)
+@settings(max_examples=300, deadline=None)
+def test_canonical_id_stable_under_normalize(raw):
+    try:
+        once = normalize_fetch_url(raw)
+        assert canonical_id(once, once) == canonical_id(
+            normalize_fetch_url(once), once
+        )
+    except Exception:
+        return
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**63 - 1),
+        min_size=1,
+        max_size=400,
+        unique=True,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_cuckoo_no_false_negatives_property(keys):
+    f = CuckooFilter.for_capacity(2 * len(keys) + 64)
+    h = np.array(keys, dtype=np.uint64)
+    f.add_hashes(h)
+    if not f.saturated:
+        assert f.contains_hashes(h).all()
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**63 - 1),
+        min_size=2,
+        max_size=200,
+        unique=True,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_cuckoo_delete_property(keys):
+    f = CuckooFilter.for_capacity(2 * len(keys) + 64)
+    h = np.array(keys, dtype=np.uint64)
+    f.add_hashes(h)
+    if f.saturated:
+        return
+    half = len(h) // 2
+    f.delete_hashes(h[:half])
+    # retained keys never lost
+    assert f.contains_hashes(h[half:]).all()
+
+
+html_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=300
+)
+
+
+@given(html_text, html_text)
+@settings(max_examples=120, deadline=None)
+def test_score_bounds(a, b):
+    s = defacement_percentage(a, b)
+    assert 0.0 <= s <= 100.0
+    assert defacement_percentage(a, a) == 0.0
+
+
+@given(html_text)
+@settings(max_examples=80, deadline=None)
+def test_diff_self_is_unchanged(a):
+    art = diff_artifact(a, a)
+    assert not art["changed"]
+    assert art["tallies"]["add"] == art["tallies"]["del"] == art["tallies"]["mod"] == 0
