@@ -124,3 +124,48 @@ def test_engine_parity_with_cuckoo(spark, tmp_path):
             ),
         }
     assert results["none"] == results["cuckoo"]
+
+
+@pytest.mark.slow
+def test_cuckoo_resume(spark, tmp_path):
+    """Kill after round 2, resume with a fresh engine over the same
+    state dir: the cuckoo filter table must reload from its snapshot
+    and the final state must equal an uninterrupted cuckoo crawl."""
+    from web_crawler_spark.engine.crawl import CrawlConfig, CrawlEngine
+    from web_crawler_spark.fixtures.webgraph import (
+        WebGraphConfig,
+        generate_pages,
+        generate_sites,
+    )
+
+    cfg = WebGraphConfig(hosts=2, pages_per_host=10)
+    pages = spark.createDataFrame(generate_pages(cfg))
+    sites = spark.createDataFrame(generate_sites(cfg))
+
+    full = CrawlEngine(
+        spark, pages, sites,
+        config=CrawlConfig(state_dir=str(tmp_path / "full"),
+                           seen_filter="cuckoo"),
+    )
+    full.run(fresh=True)
+
+    part = CrawlEngine(
+        spark, pages, sites,
+        config=CrawlConfig(state_dir=str(tmp_path / "part"),
+                           seen_filter="cuckoo", max_rounds=2),
+    )
+    part.run(fresh=True)
+    resumed = CrawlEngine(
+        spark, pages, sites,
+        config=CrawlConfig(state_dir=str(tmp_path / "part"),
+                           seen_filter="cuckoo"),
+    )
+    resumed.resume()
+
+    def state(eng):
+        return (
+            sorted((r["url_key"], r["visit_ord"]) for r in eng.visits().collect()),
+            sorted(r["url_key"] for r in eng.seen_keys().collect()),
+        )
+
+    assert state(full) == state(resumed)

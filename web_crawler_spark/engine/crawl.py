@@ -14,7 +14,8 @@ Spark-first re-expression of the reference's threaded frontier loop
   candidates ──normalize UDF──▶ url_key
   candidates ──first-wins window──▶ in-batch dedup
   candidates ──bloom prefilter + anti-join seen──▶ new frontier rows
-  sinks: visits / documents / fetch_log / blocked / frontier / seen
+  sinks: fetch_log (carries visit ordinals) / documents / blocked /
+         frontier / seen [/ cuckoo filters] + metrics.jsonl
          (parquet snapshot per round ⇒ resumable; Iceberg MERGE INTO
           at production scale — same keys, same partitioning)
 
@@ -595,6 +596,11 @@ class CrawlEngine:
 
     def seen_keys(self) -> DataFrame:
         return self.read_all("seen").select("siteid", "url_key")
+
+    def export_json(self, table: str, path: str) -> None:
+        """S9 (export_data.py:13-46): full-table JSON export — one JSON
+        object per line, written distributed (no driver materialize)."""
+        self.read_all(table).write.mode("overwrite").json(path)
 
     def metrics(self) -> DataFrame:
         """Per-round metrics table (F6/F8): one row per committed round."""
