@@ -65,7 +65,10 @@ def main() -> None:
         generate_sites,
     )
 
-    cfg = WebGraphConfig(hosts=3, pages_per_host=24, seed=42)
+    # big enough that rounds amortize the per-round commit cost: ~1000
+    # URLs over ~10 BFS rounds (incl. the www-alias mirror of host 0
+    # and every fetch-failure mode)
+    cfg = WebGraphConfig(hosts=4, pages_per_host=200, seed=42)
     pages = spark.createDataFrame(generate_pages(cfg))
     sites = spark.createDataFrame(generate_sites(cfg))
     state = f"/tmp/wcs_bench_{os.getpid()}"
