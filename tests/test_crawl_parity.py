@@ -145,3 +145,19 @@ def test_resume_from_checkpoint(spark, graph, tmp_path_factory, oracle_results):
         per_site.setdefault(r["siteid"], []).append(r["url_key"])
     for siteid, oracle in oracle_results.items():
         assert per_site[siteid] == [u for (u, _d, _p) in oracle.visit_order]
+
+
+def test_routing_graph_matches(engine_result, oracle_results):
+    """F7: engine discovery edges == oracle first-wins (parent → child)
+    pairs from the reference BFS."""
+    eng, _ = engine_result
+    got = {
+        (r["siteid"], r["parent"], r["child"])
+        for r in eng.edges().collect()
+    }
+    want = set()
+    for siteid, oracle in oracle_results.items():
+        for url, depth, parent in oracle.visit_order:
+            if parent is not None:
+                want.add((siteid, parent, url))
+    assert got == want

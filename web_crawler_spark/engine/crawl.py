@@ -597,6 +597,30 @@ class CrawlEngine:
     def seen_keys(self) -> DataFrame:
         return self.read_all("seen").select("siteid", "url_key")
 
+    def edges(self) -> DataFrame:
+        """F7 discovery-graph edges (frontier.py:63-68): one row per
+        (parent_key → url_key) discovery, with depth and round."""
+        return (
+            self.read_all("frontier")
+            .filter(F.col("parent_key").isNotNull())
+            .select(
+                "siteid",
+                F.col("parent_key").alias("parent"),
+                F.col("url_key").alias("child"),
+                "depth",
+                "round",
+            )
+        )
+
+    def routing_graph(self) -> DataFrame:
+        """F7 adjacency view (observability_ui.py:58-64 shape):
+        parent → ordered child list."""
+        return (
+            self.edges()
+            .groupBy("siteid", "parent")
+            .agg(F.sort_array(F.collect_list("child")).alias("children"))
+        )
+
     def export_json(self, table: str, path: str) -> None:
         """S9 (export_data.py:13-46): full-table JSON export — one JSON
         object per line, written distributed (no driver materialize)."""

@@ -503,6 +503,7 @@ def _crawl_state(spark: SparkSession) -> dict[str, DataFrame]:
         "blocked": eng.blocked_report(),
         "seen": eng.seen_keys(),
         "fetch_log": eng.read_all("fetch_log"),
+        "routing": eng.routing_graph(),
     }
     _CRAWL_CACHE[key] = out
     return out
@@ -644,6 +645,14 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_routing_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 routing graph (rows-only): parent → ordered discovered
+    children from the fixture crawl."""
+    r = _crawl_state(spark)["routing"]
+    return r.select("siteid", "parent", F.size("children").alias("n_children"),
+                    "children")
+
+
 def q_x1_parse_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 parse showcase: fixture HTML → interleaved span arrays via
     the vectorized parser (rows-only; span equality is pytest-gated)."""
@@ -691,6 +700,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_visits": q_crawl_visits,
     "crawl_documents": q_crawl_documents,
     "crawl_blocked_report": q_crawl_blocked_report,
+    "crawl_routing_graph": q_crawl_routing_graph,
     "x1_parse_spans": q_x1_parse_spans,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_features": q_multimodal_features,
