@@ -55,3 +55,31 @@ def test_streaming_equals_batch(spark, crawl_state, tmp_path):
     assert len(got) > 2
     total_attempts = sum(v[0] for v in got.values())
     assert total_attempts == eng.read_all("fetch_log").count()
+
+
+def test_stateful_host_monitor(spark, crawl_state, tmp_path):
+    """applyInPandasWithState monitor: cumulative per-host counters
+    maintained across micro-batches must equal the batch aggregates."""
+    from web_crawler_spark.streaming.metrics import (
+        host_monitor_stateful,
+        run_monitor_to_completion,
+    )
+
+    state, eng = crawl_state
+    stream = read_fetch_log_stream(spark, state, max_files_per_trigger=3)
+    rows = run_monitor_to_completion(
+        host_monitor_stateful(stream), str(tmp_path / "mon_ckpt")
+    )
+    got = {r["host"]: (r["attempts"], r["ok"]) for r in rows}
+    batch = (
+        eng.read_all("fetch_log")
+        .withColumn("host", F.regexp_extract("url_key", r"^https?://([^/]+)", 1))
+        .groupBy("host")
+        .agg(F.count("*").alias("n"), F.count(F.when(F.col("success"), 1)).alias("ok"))
+        .collect()
+    )
+    want = {r["host"]: (r["n"], r["ok"]) for r in batch}
+    assert got == want
+    for r in rows:
+        assert 0.0 <= r["ok_rate"] <= 1.0
+        assert r["ewma_ms"] is None or r["ewma_ms"] > 0

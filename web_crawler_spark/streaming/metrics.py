@@ -84,3 +84,82 @@ def run_to_completion(
     )
     q.awaitTermination()
     return metrics.sparkSession.table("host_metrics").collect()
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: per-host cumulative monitor
+# ---------------------------------------------------------------------------
+
+HOST_STATE_SCHEMA = "attempts long, ok long, ewma_ms double"
+HOST_MONITOR_SCHEMA = (
+    "host string, attempts long, ok long, ok_rate double, ewma_ms double"
+)
+
+
+def host_monitor_stateful(fetch_log: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-host CUMULATIVE attempt/success counts and an EWMA of response
+    time maintained across micro-batches — the monitor state a live
+    politeness controller reads (e.g. to shrink a host's token budget
+    when its latency EWMA climbs).
+
+    State is per host-group and survives triggers via the checkpoint;
+    each micro-batch emits the host's updated snapshot row. GroupStateTimeout
+    is not used (crawl monitors never expire hosts mid-run)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    host = F.regexp_extract(F.col("url_key"), r"^https?://([^/]+)", 1)
+    keyed = fetch_log.withColumn("host", host)
+
+    def update(key, pdfs, state: GroupState):
+        attempts = ok = 0
+        ewma = None
+        if state.exists:
+            attempts, ok, ewma = state.get
+        for pdf in pdfs:
+            attempts += len(pdf)
+            ok += int(pdf["success"].sum())
+            for v in pdf["response_time_ms"].dropna():
+                ewma = float(v) if ewma is None else (
+                    alpha * float(v) + (1 - alpha) * ewma
+                )
+        state.update((attempts, ok, ewma))
+        yield pd.DataFrame(
+            [
+                {
+                    "host": key[0],
+                    "attempts": attempts,
+                    "ok": ok,
+                    "ok_rate": ok / attempts if attempts else 0.0,
+                    "ewma_ms": ewma,
+                }
+            ]
+        )
+
+    return keyed.groupBy("host").applyInPandasWithState(
+        update,
+        outputStructType=HOST_MONITOR_SCHEMA,
+        stateStructType=HOST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_monitor_to_completion(monitor: DataFrame, checkpoint_dir: str) -> list:
+    """Drive the stateful monitor with availableNow; memory sink in
+    update mode — the LAST emitted row per host is its final state."""
+    q = (
+        monitor.writeStream.format("memory")
+        .queryName("host_monitor")
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = monitor.sparkSession.table("host_monitor").collect()
+    last: dict[str, object] = {}
+    for r in rows:  # memory sink appends updates in trigger order
+        last[r["host"]] = r
+    return list(last.values())
