@@ -72,6 +72,20 @@ def test_is_same_site_native_parity(spark):
         assert r["native"] == sem.is_same_site(r["url"], base), r["url"]
 
 
+def test_classify_url_native_parity(spark):
+    """X2 native (classify_url_col, Catalyst rlike battery) must match
+    the pure-Python kernel label-for-label on the URL battery."""
+    got = {
+        r["url"]: r["labels"]
+        for r in _df(spark)
+        .select("url", U.classify_url_col(F.col("url")).alias("labels"))
+        .collect()
+    }
+    for u in URL_CASES:
+        if u:
+            assert got[u] == sem.classify_url(u), u
+
+
 def test_classify_url_udf_parity(spark):
     got = {
         r["url"]: r["labels"]

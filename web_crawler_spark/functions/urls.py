@@ -133,6 +133,39 @@ def classify_block_col(url: Column) -> Column:
     return expr.otherwise(F.lit(None).cast(StringType()))
 
 
+# X2 classification marks (crawler/parser.py:10-44), as unanchored
+# regexes over the lowercased URL / path — mirrors oracle.semantics
+# _PAGINATION_MARKS / _UPLOAD_MARKS / _MEDIA_EXTS exactly.
+_PAGINATION_MARK_RX = r"(/page/|/p/|\?page=|\?p=|/pagination/)"
+_UPLOAD_MARK_RX = r"(/uploads/|/assets/|/media/|/files/)"
+_MEDIA_EXT_RX = r"\.(pdf|jpg|jpeg|png|gif|svg)$"
+_API_MARK_RX = r"(wp-json|/api/)"
+
+
+def classify_url_col(url: Column) -> Column:
+    """X2 multi-label classification as a native Catalyst expression
+    (array_compact over a F.when battery — SURVEY §2.D X2's native
+    form; crawler/parser.py:10-44). Same labels/membership as
+    classify_url_udf, but JVM-side with whole-stage codegen — the
+    100 TB path; the Arrow UDF stays as the parity witness."""
+    low = F.lower(url)
+    path = F.lower(url_path(url))
+    labels = F.array_compact(
+        F.array(
+            F.when(low.rlike(_PAGINATION_MARK_RX), F.lit("pagination")),
+            F.when(
+                low.rlike(_UPLOAD_MARK_RX) | path.rlike(_MEDIA_EXT_RX),
+                F.lit("assets_uploads"),
+            ),
+            F.when(path.rlike(r"\.(css|js)$"), F.lit("scripts_styles")),
+            F.when(low.rlike(_API_MARK_RX), F.lit("api_like")),
+        )
+    )
+    return F.when(F.size(labels) == 0, F.array(F.lit("normal_html"))).otherwise(
+        labels
+    )
+
+
 def allowed_domain_col(seed_url: Column, candidate: Column) -> Column:
     """Native _allowed_domain (worker.py:73-78): candidate host must be
     the seed's www-less host or its www. variant (no www-strip on the

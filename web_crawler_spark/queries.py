@@ -300,6 +300,166 @@ FROM events GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# URL admission pipeline (P1-P7, U-host) + X2 classification — native
+# Catalyst expressions over a deterministic URL corpus derived from the
+# part table, DuckDB-verified (the crawl fixtures aren't visible to
+# DuckDB; this corpus is, because both engines construct it from the
+# same rows with the same arithmetic).
+# ---------------------------------------------------------------------------
+
+
+def _url_corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic URL corpus: one URL per part row, 12 path shapes
+    covering every block rule and classification label."""
+    k = F.col("p_partkey")
+    ks = k.cast("string")
+    host = F.concat(
+        F.when(k % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("shop"),
+        (k % 7).cast("string"),
+        F.lit(".example.com"),
+    )
+    m = k % 12
+    path = (
+        F.when(m == 0, F.concat(F.lit("/tag/t"), ks))
+        .when(m == 1, F.concat(F.lit("/author/a"), ks))
+        .when(m == 2, F.concat(F.lit("/blog/page/"), (k % 9).cast("string"), F.lit("/")))
+        .when(m == 3, F.concat(F.lit("/assets/img"), ks, F.lit(".png")))
+        .when(m == 4, F.concat(F.lit("/static/app"), ks, F.lit(".js")))
+        .when(m == 5, F.concat(F.lit("/theme"), ks, F.lit(".css")))
+        .when(m == 6, F.concat(F.lit("/doc"), ks, F.lit(".pdf")))
+        .when(m == 7, F.concat(F.lit("/post"), ks, F.lit("?e-page-1f="), ks))
+        .when(m == 8, F.concat(F.lit("/products/item"), ks))
+        .when(m == 9, F.lit("/api/v1/items"))
+        .when(m == 10, F.concat(F.lit("/media/clip"), ks))
+        .otherwise(F.lit("/news/page/"))
+    )
+    return _t(spark, sf_dir, "part").select(
+        F.concat(F.lit("https://"), host, path).alias("url")
+    )
+
+
+_URL_CORPUS_SQL = """
+corpus AS (
+  SELECT 'https://' || (CASE WHEN p_partkey % 3 = 0 THEN 'www.' ELSE '' END)
+         || 'shop' || CAST(p_partkey % 7 AS VARCHAR) || '.example.com'
+         || CASE p_partkey % 12
+            WHEN 0 THEN '/tag/t' || CAST(p_partkey AS VARCHAR)
+            WHEN 1 THEN '/author/a' || CAST(p_partkey AS VARCHAR)
+            WHEN 2 THEN '/blog/page/' || CAST(p_partkey % 9 AS VARCHAR) || '/'
+            WHEN 3 THEN '/assets/img' || CAST(p_partkey AS VARCHAR) || '.png'
+            WHEN 4 THEN '/static/app' || CAST(p_partkey AS VARCHAR) || '.js'
+            WHEN 5 THEN '/theme' || CAST(p_partkey AS VARCHAR) || '.css'
+            WHEN 6 THEN '/doc' || CAST(p_partkey AS VARCHAR) || '.pdf'
+            WHEN 7 THEN '/post' || CAST(p_partkey AS VARCHAR)
+                        || '?e-page-1f=' || CAST(p_partkey AS VARCHAR)
+            WHEN 8 THEN '/products/item' || CAST(p_partkey AS VARCHAR)
+            WHEN 9 THEN '/api/v1/items'
+            WHEN 10 THEN '/media/clip' || CAST(p_partkey AS VARCHAR)
+            ELSE '/news/page/' END AS url
+  FROM part
+),
+parsed AS (
+  SELECT url,
+         lower(url) AS low,
+         regexp_extract(url, '^https://[^/]+(/[^?#]*)', 1) AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query,
+         lower(regexp_extract(url, '^https://([^/]+)/', 1)) AS host
+  FROM corpus
+)
+"""
+
+
+def q_p_admission_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5-P7 block-rule battery + P4 domain filter, all native
+    (functions/urls.py classify_block_col / allowed_domain_col —
+    worker.py:30-78 semantics), rolled up per (block_type, in_domain)."""
+    from web_crawler_spark.functions.urls import (
+        allowed_domain_col,
+        classify_block_col,
+    )
+
+    urls = _url_corpus_df(spark, sf_dir)
+    seed = F.lit("https://shop0.example.com/")
+    return (
+        urls.select(
+            F.coalesce(classify_block_col(F.col("url")), F.lit("ALLOWED")).alias(
+                "block_type"
+            ),
+            allowed_domain_col(seed, F.col("url")).alias("in_domain"),
+            "url",
+        )
+        .groupBy("block_type", "in_domain")
+        .agg(F.count("*").alias("n"), F.min("url").alias("first_url"))
+    )
+
+
+ORACLE_P_ADMISSION = (
+    "WITH "
+    + _URL_CORPUS_SQL
+    + r"""
+SELECT CASE
+         WHEN regexp_matches(path, '\.(css|js|png|jpg|jpeg|webp|gif|svg|ico|woff|woff2|ttf|eot|pdf|zip)$') THEN 'STATIC'
+         WHEN regexp_matches(query, '(^|&)e-page-[0-9a-fA-F]+=') THEN 'BLOG_EPAGE'
+         WHEN regexp_matches(lower(path), '^/tag/') THEN 'TAG_PAGE'
+         WHEN regexp_matches(lower(path), '^/author/') THEN 'AUTHOR_PAGE'
+         WHEN regexp_matches(lower(path), '/page/[0-9]*/?$') THEN 'PAGINATION'
+         WHEN regexp_matches(lower(path), '^/(assets|static|media|uploads|images|img|css|js)/') THEN 'ASSET_DIRECTORY'
+         ELSE 'ALLOWED' END AS block_type,
+       (host = 'shop0.example.com' OR host = 'www.shop0.example.com') AS in_domain,
+       count(*) AS n,
+       min(url) AS first_url
+FROM parsed
+GROUP BY 1, 2
+"""
+)
+
+
+def q_x2_classification_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 multi-label classification distribution (A3 shape,
+    analysis_generator.py:30-48) via the native classify_url_col —
+    explode labels, count per type, DuckDB-verified."""
+    from web_crawler_spark.functions.urls import classify_url_col
+
+    urls = _url_corpus_df(spark, sf_dir)
+    return (
+        urls.select(F.explode(classify_url_col(F.col("url"))).alias("type"))
+        .groupBy("type")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+ORACLE_X2_CLASSIFICATION = (
+    "WITH "
+    + _URL_CORPUS_SQL
+    + r""",
+labels AS (
+  SELECT 'pagination' AS type, count(*) AS count FROM parsed
+   WHERE regexp_matches(low, '(/page/|/p/|\?page=|\?p=|/pagination/)')
+  UNION ALL
+  SELECT 'assets_uploads', count(*) FROM parsed
+   WHERE regexp_matches(low, '(/uploads/|/assets/|/media/|/files/)')
+      OR regexp_matches(lower(path), '\.(pdf|jpg|jpeg|png|gif|svg)$')
+  UNION ALL
+  SELECT 'scripts_styles', count(*) FROM parsed
+   WHERE regexp_matches(lower(path), '\.(css|js)$')
+  UNION ALL
+  SELECT 'api_like', count(*) FROM parsed
+   WHERE regexp_matches(low, '(wp-json|/api/)')
+  UNION ALL
+  SELECT 'normal_html', count(*) FROM parsed
+   WHERE NOT (regexp_matches(low, '(/page/|/p/|\?page=|\?p=|/pagination/)')
+           OR regexp_matches(low, '(/uploads/|/assets/|/media/|/files/)')
+           OR regexp_matches(lower(path), '\.(pdf|jpg|jpeg|png|gif|svg)$')
+           OR regexp_matches(lower(path), '\.(css|js)$')
+           OR regexp_matches(low, '(wp-json|/api/)'))
+)
+SELECT type, count FROM labels WHERE count > 0
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # training-data pipeline: deduplication (task brief §extras)
 # ---------------------------------------------------------------------------
 
@@ -412,7 +572,9 @@ FROM scored
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID heuristic UDF vs the table's label (rows-only)."""
+    """Language-ID heuristic (stopword-marker argmax + CJK ratio) as an
+    Arrow UDF; DuckDB oracle reimplements the heuristic in SQL
+    (list_intersect hit counts, first-max-wins in marker order)."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -421,12 +583,54 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ORACLE_LANG_ID = r"""
+WITH w AS (
+  SELECT doc_id, lang, coalesce(text, '') AS t,
+         list_distinct(regexp_split_to_array(lower(trim(coalesce(text, ''))), '\s+')) AS bag
+  FROM documents
+), h AS (
+  SELECT doc_id, lang,
+         len(list_intersect(bag, ['the','and','of','is','that','with'])) AS h_en,
+         len(list_intersect(bag, ['der','die','und','ist','nicht','das'])) AS h_de,
+         len(list_intersect(bag, ['le','la','et','les','des','est'])) AS h_fr,
+         len(list_intersect(bag, ['el','la','los','que','es','una'])) AS h_es,
+         len(t) AS n,
+         len(regexp_extract_all(t, '[\x{4e00}-\x{9fff}]')) AS cjk
+  FROM w
+)
+SELECT doc_id, lang,
+       CASE WHEN n = 0 THEN 'und'
+            WHEN cjk * 1.0 / n > 0.05 THEN 'zh'
+            WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+            WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+            WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+            WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM h
+"""
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling polynomial document fingerprints (rows-only)."""
+    """Rolling polynomial document fingerprints (base 131 mod 2^61−1
+    over utf-8 bytes, Arrow UDF); DuckDB oracle folds the same
+    recurrence with list_reduce over HUGEINT (testdata text is ASCII,
+    so codepoints == bytes)."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id", rolling_fingerprint_udf(F.col("text")).alias("fingerprint")
     )
+
+
+ORACLE_FINGERPRINTS = """
+SELECT doc_id,
+       CASE WHEN text IS NULL OR len(text) = 0 THEN 0
+            ELSE CAST(list_reduce(
+              list_prepend(CAST(0 AS HUGEINT),
+                list_transform(split(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
+              (h, b) -> (h * 131 + b) % 2305843009213693951
+            ) AS BIGINT) END AS fingerprint
+FROM documents
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -688,6 +892,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "so1_snapshot_compare": q_so1_snapshot_compare,
     "h1_content_hashes": q_h1_content_hashes,
     "a9_severity_bands": q_a9_severity_bands,
+    "p_admission_pipeline": q_p_admission_pipeline,
+    "x2_classification_native": q_x2_classification_native,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash,
@@ -719,12 +925,18 @@ ORACLES: dict[str, str] = {
     "so1_snapshot_compare": ORACLE_SO1,
     "h1_content_hashes": ORACLE_H1,
     "a9_severity_bands": ORACLE_A9,
+    "p_admission_pipeline": ORACLE_P_ADMISSION,
+    "x2_classification_native": ORACLE_X2_CLASSIFICATION,
+    "lang_id": ORACLE_LANG_ID,
+    "fingerprints": ORACLE_FINGERPRINTS,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
     "text_quality": ORACLE_TEXT_QUALITY,
     "ann_brute_force_topk": ORACLE_ANN,
     # no oracle (rows-only, by design): dedup_minhash_lsh, dedup_simhash,
-    # lang_id, fingerprints, ann_lsh_topk, crawl_*, x1_parse_spans,
-    # multimodal_* (UDF/iterative/binary ops that ANSI SQL can't express;
-    # pytest gates their semantics against pure-Python oracles instead)
+    # ann_lsh_topk (approximate by design), crawl_* (iterative multi-round
+    # engine over fixture webs DuckDB can't see), x1_parse_spans (HTML
+    # parse), multimodal_*, compare_observations, a3_classification
+    # (fixture-driven); pytest gates their semantics against pure-Python
+    # oracles instead
 }
