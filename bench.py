@@ -33,6 +33,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding",
+    "dedup_embedding_lsh",
     "text_quality",
     "ann_brute_force_topk",
     "ann_lsh_topk",

@@ -82,3 +82,81 @@ def test_simhash_finds_exact_dup(docs):
     assert (1, 2) in got
     h12 = pairs.set_index(["id_a", "id_b"]).loc[(1, 2), "hamming"]
     assert h12 == 0
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup tier (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((20, 16))
+    rows = [(i, base[i].tolist(), 0) for i in range(20)]
+    # planted near-dups: 20≈0, 21≈1 (tiny perturbations)
+    rows.append((20, (base[0] + 0.01 * rng.standard_normal(16)).tolist(), 1))
+    rows.append((21, (base[1] + 0.01 * rng.standard_normal(16)).tolist(), 1))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).cache()
+
+
+def test_embedding_cosine_blocked_equals_naive(spark, vecs):
+    """Blocked-matmul exact tier must equal the naive zip_with plan."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.operators.similarity import (
+        cosine_col,
+        embedding_cosine_pairs,
+    )
+
+    thr = 0.5
+    blocked = (
+        embedding_cosine_pairs(vecs, threshold=thr, num_blocks=4, sim_round=4)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    l = vecs.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va")
+    )
+    r = vecs.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb")
+    )
+    naive = (
+        l.join(r, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine_col(F.col("_va"), F.col("_vb")), 4))
+        .filter(F.col("cos_sim") >= thr)
+        .select("id_a", "id_b", "cos_sim")
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert blocked.equals(naive), (blocked, naive)
+    planted = {(0, 20), (1, 21)}
+    assert planted <= set(zip(blocked["id_a"], blocked["id_b"]))
+
+
+def test_embedding_cosine_lsh_subset_of_exact(spark, vecs):
+    """LSH candidates that pass the threshold are a subset of the exact
+    pairs (approximate-by-design: may miss, never invents)."""
+    from web_crawler_spark.operators.similarity import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_lsh,
+    )
+
+    exact = embedding_cosine_pairs(
+        vecs, threshold=0.5, num_blocks=4, sim_round=4
+    ).toPandas()
+    approx = embedding_cosine_pairs_lsh(
+        vecs, dim=16, threshold=0.5, num_bits=16, sim_round=4
+    ).toPandas()
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    approx_pairs = set(zip(approx["id_a"], approx["id_b"]))
+    assert approx_pairs <= exact_pairs
+    # near-identical vectors land in the same bucket with overwhelming
+    # probability — the planted dups must be recalled
+    assert (0, 20) in approx_pairs and (1, 21) in approx_pairs

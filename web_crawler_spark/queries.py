@@ -521,6 +521,38 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(d, "doc_id", "text", max_hamming=3)
 
 
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (5th dedup tier): exact all-pairs
+    via blocked numpy matmul in applyInPandas; DuckDB-verified."""
+    from web_crawler_spark.operators.similarity import embedding_cosine_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(e, threshold=0.4, num_blocks=8, sim_round=4)
+
+
+ORACLE_DEDUP_EMBEDDING = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs (rows-only: approximate by
+    design — the 10^9-vector path with no quadratic stage)."""
+    from web_crawler_spark.operators.similarity import (
+        embedding_cosine_pairs_lsh,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs_lsh(
+        e, dim=64, threshold=0.4, num_bits=16, sim_round=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: text analysis
 # ---------------------------------------------------------------------------
@@ -898,6 +930,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_embedding": q_dedup_embedding,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
@@ -931,6 +965,7 @@ ORACLES: dict[str, str] = {
     "fingerprints": ORACLE_FINGERPRINTS,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
+    "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "text_quality": ORACLE_TEXT_QUALITY,
     "ann_brute_force_topk": ORACLE_ANN,
     # no oracle (rows-only, by design): dedup_minhash_lsh, dedup_simhash,
