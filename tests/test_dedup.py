@@ -56,6 +56,21 @@ def test_prefix_filter_equals_naive(docs):
         assert fast.equals(naive), (n, t, fast, naive)
 
 
+def test_blocked_equals_naive(docs):
+    """Blocked-tile exact plan ≡ naive plan ≡ prefix-join plan."""
+    from web_crawler_spark.operators.dedup import ngram_jaccard_pairs_blocked
+
+    for n, t in [(2, 0.3), (3, 0.2), (1, 0.5)]:
+        blocked = ngram_jaccard_pairs_blocked(
+            docs, n=n, threshold=t, num_blocks=4
+        ).toPandas()
+        naive = ngram_jaccard_pairs_naive(docs, n=n, threshold=t).toPandas()
+        key = ["id_a", "id_b"]
+        blocked = blocked.sort_values(key).reset_index(drop=True)
+        naive = naive.sort_values(key).reset_index(drop=True)
+        assert blocked.equals(naive), (n, t, blocked, naive)
+
+
 def test_ngram_finds_planted_pairs(docs):
     pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.5).toPandas()
     got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}

@@ -512,8 +512,13 @@ class CrawlEngine:
             )
 
             # -- snapshot round state (checkpoint + lineage truncation) ---
+            # persist once: the same rows feed the parquet snapshot AND
+            # the seen-delta below (saves a write→read round trip per
+            # round; lineage still truncates because the next round
+            # re-reads the frontier from the snapshot)
+            new_frontier.persist()
             self._write(new_frontier, "frontier", r)
-            seen_new = self._read_round("frontier", r).join(
+            seen_new = new_frontier.join(
                 deferred.select("siteid", "url_key"), ["siteid", "url_key"],
                 "left_anti",
             ).select(
@@ -566,6 +571,7 @@ class CrawlEngine:
             fetched.unpersist()
             parsed.unpersist()
             cand.unpersist()
+            new_frontier.unpersist()
 
             frontier = self._read_round("frontier", r)
             seen = self.read_all("seen").select("siteid", "url_key")

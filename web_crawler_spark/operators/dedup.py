@@ -273,6 +273,179 @@ def ngram_jaccard_pairs(
     return verified
 
 
+def ngram_jaccard_pairs_blocked(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via blocked tile intersection counting
+    — the mid-scale exact plan (≲10^5-10^6 docs per comparable corpus).
+
+    The AllPairs prefix join (ngram_jaccard_pairs) is the asymptotic
+    scale path, but on corpora with a small shared vocabulary the
+    prefix filter passes nearly every pair and the per-candidate
+    array_intersect dominates (9.6M candidates → 260 survivors at
+    sf0.1). This operator instead tiles the doc×doc intersection-count
+    matrix exactly like operators/similarity.embedding_cosine_pairs:
+    each doc's hashed gram set is replicated into its num_blocks tiles,
+    and one applyInPandas task per tile computes ALL pairwise
+    intersection counts with a vectorized numpy group-cartesian +
+    bincount (cost = Σ_g cnt_a(g)·cnt_b(g) per tile — the same row
+    count the naive exploded join shuffles, but with zero shuffle and
+    zero per-pair JVM hash sets). Identical output to the prefix-join
+    and naive plans (exact counts, same rounding); ~6× faster at sf0.1.
+    Beyond ~10^6 docs the m_a·m_b tile bins outgrow memory — switch
+    back to ngram_jaccard_pairs.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    nb = num_blocks
+    grams = _gram_arrays(docs, id_col, text_col, n).select(
+        F.col("_id").cast("long").alias("_id"),
+        F.transform("grams", lambda g: F.xxhash64(g)).alias("grams"),
+        F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(nb))
+        .cast("int")
+        .alias("_blk"),
+    )
+    tiles = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(nb - 1)),
+            lambda j: F.struct(
+                F.least(F.col("_blk"), j).cast("int").alias("ba"),
+                F.greatest(F.col("_blk"), j).cast("int").alias("bb"),
+                F.when(F.col("_blk") <= j, F.lit(0))
+                .otherwise(F.lit(1))
+                .cast("int")
+                .alias("side"),
+            ),
+        ),
+        lambda s: ~((s["ba"] == s["bb"]) & (s["side"] == 1)),
+    )
+    replicated = grams.select(
+        "_id", "grams", F.explode(tiles).alias("_t")
+    ).select(
+        "_id", "grams",
+        F.col("_t.ba").alias("ba"),
+        F.col("_t.bb").alias("bb"),
+        F.col("_t.side").alias("side"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("jaccard", DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def _expand_ranges(starts, lengths):
+        """[s0..s0+l0) ++ [s1..s1+l1) ++ … as one index vector."""
+        lengths = np.asarray(lengths, dtype=np.int64)
+        keep = lengths > 0
+        starts, lengths = np.asarray(starts, dtype=np.int64)[keep], lengths[keep]
+        if len(starts) == 0:
+            return np.array([], dtype=np.int64)
+        ends = np.cumsum(lengths)
+        step = np.ones(ends[-1], dtype=np.int64)
+        step[0] = starts[0]
+        step[ends[:-1]] = starts[1:] - (starts[:-1] + lengths[:-1]) + 1
+        return np.cumsum(step)
+
+    def _side_arrays(pdf):
+        ids = pdf["_id"].to_numpy()
+        glists = pdf["grams"].to_list()
+        sizes = np.array([len(g) for g in glists], dtype=np.int64)
+        h = (
+            np.concatenate([np.asarray(g, dtype=np.int64) for g in glists])
+            if len(glists)
+            else np.array([], dtype=np.int64)
+        )
+        rows = np.repeat(np.arange(len(ids), dtype=np.int64), sizes)
+        order = np.argsort(h, kind="stable")
+        h_s, rows_s = h[order], rows[order]
+        uniq, start, cnt = np.unique(h_s, return_index=True, return_counts=True)
+        return ids, sizes, rows_s, uniq, start, cnt
+
+    def _intersection_counts(a, b, m_a, m_b):
+        """C[m_a, m_b] of exact gram-set intersection sizes."""
+        _, _, rows_a, ua, sa, ca = a
+        _, _, rows_b, ub, sb, cb = b
+        common, ia, ib = np.intersect1d(
+            ua, ub, assume_unique=True, return_indices=True
+        )
+        if len(common) == 0:
+            return np.zeros((m_a, m_b), dtype=np.int64)
+        na_k, nb_k = ca[ia], cb[ib]
+        a_concat = rows_a[_expand_ranges(sa[ia], na_k)]
+        b_concat = rows_b[_expand_ranges(sb[ib], nb_k)]
+        a_rep = np.repeat(a_concat, np.repeat(nb_k, na_k))
+        b_group_starts = np.concatenate(([0], np.cumsum(nb_k)[:-1]))
+        b_rep = b_concat[
+            _expand_ranges(
+                np.repeat(b_group_starts, na_k), np.repeat(nb_k, na_k)
+            )
+        ]
+        lin = a_rep * m_b + b_rep
+        return np.bincount(lin, minlength=m_a * m_b).reshape(m_a, m_b)
+
+    def tile_pairs(key, pdf):
+        ba, bb = int(key[0]), int(key[1])
+        a_pdf = pdf[pdf["side"] == 0]
+        empty = pd.DataFrame(
+            {
+                "id_a": np.array([], dtype=np.int64),
+                "id_b": np.array([], dtype=np.int64),
+                "jaccard": np.array([], dtype=np.float64),
+            }
+        )
+        if len(a_pdf) == 0:
+            return empty
+        a = _side_arrays(a_pdf)
+        if ba == bb:
+            b, b_ids, b_sizes = a, a[0], a[1]
+        else:
+            b_pdf = pdf[pdf["side"] == 1]
+            if len(b_pdf) == 0:
+                return empty
+            b = _side_arrays(b_pdf)
+            b_ids, b_sizes = b[0], b[1]
+        a_ids, a_sizes = a[0], a[1]
+        C = _intersection_counts(a, b, len(a_ids), len(b_ids))
+        union = a_sizes[:, None] + b_sizes[None, :] - C
+        with np.errstate(divide="ignore", invalid="ignore"):
+            J = np.where(union > 0, C / union, 0.0)
+        if ba == bb:
+            ii, jj = np.triu_indices(len(a_ids), k=1)
+            keep = J[ii, jj] >= thr
+            ii, jj = ii[keep], jj[keep]
+        else:
+            ii, jj = np.where(J >= thr)
+        ia, ib, jv = a_ids[ii], b_ids[jj], J[ii, jj]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        # HALF_UP to 4 decimals (matches Spark F.round / DuckDB round;
+        # np.round would use banker's rounding and diverge on ties)
+        return pd.DataFrame(
+            {
+                "id_a": lo,
+                "id_b": hi,
+                "jaccard": np.floor(jv * 1e4 + 0.5) / 1e4,
+            }
+        )
+
+    return replicated.groupBy("ba", "bb").applyInPandas(tile_pairs, out_schema)
+
+
 def ngram_jaccard_pairs_naive(
     docs: DataFrame,
     id_col: str = "doc_id",
