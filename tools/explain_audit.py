@@ -52,6 +52,20 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["ReadSchema: struct<doc_id:bigint,text:string>"],
         ["BatchEvalPython", "ArrowEvalPython", "n_chars"],
     ),
+    # native admission pipeline / X2 classifier: pure Catalyst, no Python
+    "p_admission_pipeline": (
+        # partial + final aggregate (SortAggregate: min(url) on strings)
+        ["SortAggregate (5)", "SortAggregate (8)"],
+        ["BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "x2_classification_native": (
+        ["HashAggregate", "Generate"],
+        ["BatchEvalPython", "ArrowEvalPython"],
+    ),
+    # blocked tile plans: grouped-map Arrow exec, single shuffle on the
+    # tiny (ba, bb) tile key, never a row-at-a-time Python eval
+    "dedup_embedding": (["FlatMapGroupsInPandas"], ["BatchEvalPython"]),
+    "dedup_ngram_jaccard": (["FlatMapGroupsInPandas"], ["BatchEvalPython"]),
 }
 
 

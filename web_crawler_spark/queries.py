@@ -415,6 +415,66 @@ GROUP BY 1, 2
 )
 
 
+def q_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots evaluation (north-rule operator, no reference
+    counterpart) over the URL corpus: longest-match wins, allow wins
+    ties, `*` wildcards and `$` anchors. The vectorized matcher UDF
+    (operators/robots.py) is mirrored in SQL as a specificity-ordered
+    CASE battery — DuckDB-verified."""
+    from web_crawler_spark.functions.urls import url_host, url_path
+    from web_crawler_spark.operators.robots import RobotsMatcher
+
+    hosts = [
+        f"{w}shop{i}.example.com" for i in range(7) for w in ("", "www.")
+    ]
+    rules = [
+        (h, t, p)
+        for h in hosts
+        for (t, p) in [
+            ("disallow", "/tag/"),
+            ("allow", "/tag/t1"),
+            ("disallow", "*.pdf$"),
+            ("disallow", "/media/"),
+            ("allow", "/media/clip1"),
+        ]
+    ]
+    matcher = RobotsMatcher(rules)
+    urls = _url_corpus_df(spark, sf_dir)
+    return (
+        urls.select(
+            url_host(F.col("url")).alias("host"),
+            matcher.allowed_udf()(
+                url_host(F.col("url")), url_path(F.col("url"))
+            ).alias("allowed"),
+            "url",
+        )
+        .groupBy("host", "allowed")
+        .agg(F.count("*").alias("n"), F.min("url").alias("first_url"))
+    )
+
+
+ORACLE_ROBOTS = (
+    "WITH "
+    + _URL_CORPUS_SQL
+    + r"""
+SELECT host,
+       -- longest-match-wins, allow wins ties; rules ordered by pattern
+       -- specificity: /media/clip1 (12) > /tag/t1 (7) = /media/ (7,
+       -- disjoint) > *.pdf$ (6) > /tag/ (5); no rule match => allowed
+       CASE WHEN path LIKE '/media/clip1%' THEN true
+            WHEN path LIKE '/tag/t1%' THEN true
+            WHEN path LIKE '/media/%' THEN false
+            WHEN regexp_matches(path, '\.pdf$') THEN false
+            WHEN path LIKE '/tag/%' THEN false
+            ELSE true END AS allowed,
+       count(*) AS n,
+       min(url) AS first_url
+FROM parsed
+GROUP BY 1, 2
+"""
+)
+
+
 def q_x2_classification_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 multi-label classification distribution (A3 shape,
     analysis_generator.py:30-48) via the native classify_url_col —
@@ -932,6 +992,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a9_severity_bands": q_a9_severity_bands,
     "p_admission_pipeline": q_p_admission_pipeline,
     "x2_classification_native": q_x2_classification_native,
+    "robots_eval": q_robots_eval,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash,
@@ -967,6 +1028,7 @@ ORACLES: dict[str, str] = {
     "a9_severity_bands": ORACLE_A9,
     "p_admission_pipeline": ORACLE_P_ADMISSION,
     "x2_classification_native": ORACLE_X2_CLASSIFICATION,
+    "robots_eval": ORACLE_ROBOTS,
     "lang_id": ORACLE_LANG_ID,
     "fingerprints": ORACLE_FINGERPRINTS,
     "dedup_exact": ORACLE_DEDUP_EXACT,
