@@ -175,3 +175,43 @@ def test_embedding_cosine_lsh_subset_of_exact(spark, vecs):
     # near-identical vectors land in the same bucket with overwhelming
     # probability — the planted dups must be recalled
     assert (0, 20) in approx_pairs and (1, 21) in approx_pairs
+
+
+def test_ivf_full_probe_equals_brute_force(spark, vecs):
+    """IVF with nprobe == num_centroids degenerates to exact search:
+    every query scans every cell, so top-k must equal brute force."""
+    from web_crawler_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    queries = vecs.filter("vec_id < 4")
+    exact = (
+        brute_force_topk(vecs, queries, k=3, sim_round=4)
+        .toPandas()
+        .sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+    ivf = (
+        ivf_topk(
+            vecs, queries, dim=16, k=3, num_centroids=4, nprobe=4,
+            iters=2, sim_round=4,
+        )
+        .toPandas()
+        .sort_values(["query_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+    assert ivf.equals(exact), (ivf, exact)
+
+
+def test_ivf_partial_probe_recalls_planted_dups(spark, vecs):
+    """A near-identical vector lands in the same k-means cell as its
+    original, so even nprobe=1 must recall the planted dups at rank 1."""
+    from web_crawler_spark.operators.similarity import ivf_topk
+
+    out = ivf_topk(
+        vecs, vecs.filter("vec_id IN (20, 21)"), dim=16, k=1,
+        num_centroids=4, nprobe=1, iters=2, sim_round=4,
+    ).toPandas()
+    got = dict(zip(out["query_id"], out["neighbor_id"]))
+    assert got.get(20) == 0 and got.get(21) == 1, got

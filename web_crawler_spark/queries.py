@@ -762,6 +762,25 @@ SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim FROM (
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (rows-only): distributed spherical
+    k-means coarse quantizer, nprobe-cell probe, exact in-cell
+    re-rank — the second scale path beside LSH."""
+    from web_crawler_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        e,
+        e.filter(F.col("vec_id") < 10),
+        dim=64,
+        k=5,
+        num_centroids=16,
+        nprobe=4,
+        iters=2,
+        sim_round=4,
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (rows-only: approximate by
     design; the 100 TB path where the cross product is impossible)."""
@@ -1004,6 +1023,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprints": q_fingerprints,
     "ann_brute_force_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh,
+    "ann_ivf_topk": q_ann_ivf,
     "crawl_visits": q_crawl_visits,
     "crawl_documents": q_crawl_documents,
     "crawl_blocked_report": q_crawl_blocked_report,
