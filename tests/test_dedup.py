@@ -215,3 +215,18 @@ def test_ivf_partial_probe_recalls_planted_dups(spark, vecs):
     ).toPandas()
     got = dict(zip(out["query_id"], out["neighbor_id"]))
     assert got.get(20) == 0 and got.get(21) == 1, got
+
+
+def test_dedup_clusters_transitive(spark):
+    """Connected components must merge transitively: A-B and B-C pairs
+    put A,B,C in one cluster keyed by min id, even with no A-C pair;
+    isolated docs stay their own cluster."""
+    from web_crawler_spark.operators.dedup import dedup_clusters
+
+    ids = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6)], "id_a long, id_b long"
+    )
+    out = dedup_clusters(ids, pairs).toPandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {0: 0, 1: 1, 3: 1, 5: 1, 2: 2, 6: 2, 4: 4}, got

@@ -475,3 +475,78 @@ def ngram_jaccard_pairs_naive(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster assignment: distributed connected components
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Group near-duplicate pairs into clusters: every doc gets
+    cluster_id = min doc id reachable through the pair graph (the
+    canonical keeper of its duplicate class).
+
+    Distributed connected components by iterative min-label
+    propagation: each round every node takes the min of its own label
+    and its neighbors' labels (one join + groupBy-min per round,
+    converges in O(diameter) rounds — near-dup graphs are
+    small-diameter cliques, so 2-4 rounds in practice). The loop stops
+    when a round changes no label (single count() on a changed-filter).
+    Labels are checkpointed via localCheckpoint each round to truncate
+    the iterative lineage. Scale: both sides of the propagation join
+    shuffle on node id — uniform keys; no quadratic stage; the edge
+    list is the dedup-pair output which is output-sized, not n².
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("node", "dst").withColumnRenamed(
+                    "label", "dst_label"
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nmin"))
+            .withColumnRenamed("src", "node")
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+                (F.coalesce(F.col("nmin"), F.col("label")) < F.col("label")).alias(
+                    "_changed"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )

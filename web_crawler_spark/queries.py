@@ -550,8 +550,8 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs_blocked(d, "doc_id", "text", n=2, threshold=0.2)
 
 
-ORACLE_DEDUP_NGRAM = r"""
-WITH g AS (
+_NGRAM_PAIRS_CTES = r"""
+g AS (
   SELECT doc_id,
          list_distinct(list_transform(range(1, len(w)),
                                       i -> w[i] || ' ' || w[i+1])) AS grams
@@ -563,13 +563,23 @@ inter AS (
   SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS ni
   FROM e l JOIN e r ON l.gr = r.gr AND l.doc_id < r.doc_id
   GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b, ni, sa.n AS na, sb.n AS nb
+  FROM inter
+  JOIN sizes sa ON inter.id_a = sa.doc_id
+  JOIN sizes sb ON inter.id_b = sb.doc_id
+  WHERE ni / (sa.n + sb.n - ni) >= 0.2
 )
-SELECT id_a, id_b, round(ni / (sa.n + sb.n - ni), 4) AS jaccard
-FROM inter
-JOIN sizes sa ON inter.id_a = sa.doc_id
-JOIN sizes sb ON inter.id_b = sb.doc_id
-WHERE ni / (sa.n + sb.n - ni) >= 0.2
 """
+
+ORACLE_DEDUP_NGRAM = (
+    "WITH "
+    + _NGRAM_PAIRS_CTES
+    + """
+SELECT id_a, id_b, round(ni / (na + nb - ni), 4) AS jaccard FROM pairs
+"""
+)
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,6 +595,37 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only check)."""
     d = _t(spark, sf_dir, "documents")
     return simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: exact bigram-Jaccard pairs (≥0.2)
+    → distributed connected components (iterative min-label
+    propagation). Oracle: the same pair CTEs + a recursive reachability
+    CTE in DuckDB — every doc maps to the min doc_id in its component."""
+    from web_crawler_spark.operators.dedup import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_blocked(d, "doc_id", "text", n=2, threshold=0.2)
+    return dedup_clusters(d.select("doc_id"), pairs)
+
+
+ORACLE_DEDUP_CLUSTERS = (
+    "WITH RECURSIVE "
+    + _NGRAM_PAIRS_CTES
+    + """,
+edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+)
+SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+"""
+)
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1018,6 +1059,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
+    "dedup_clusters": q_dedup_clusters,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
@@ -1054,6 +1096,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "text_quality": ORACLE_TEXT_QUALITY,
     "ann_brute_force_topk": ORACLE_ANN,
     # no oracle (rows-only, by design): dedup_minhash_lsh, dedup_simhash,
