@@ -43,6 +43,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -293,6 +294,12 @@ class CrawlEngine:
 
         stats = CrawlStats(rounds=rnd, total_visits=total_visits)
         pages = self.pages
+        # driver-side thread pool for the three independent per-round
+        # sinks (fetch_log / documents / blocked): Spark schedules the
+        # jobs concurrently, overlapping their fixed scheduling latency
+        # — all three read only persisted upstream frames and write
+        # disjoint directories; the frontier/seen commit stays ordered
+        sink_pool = ThreadPoolExecutor(max_workers=3)
 
         while stats.rounds < self.cfg.max_rounds:
             frontier_count = _parquet_rows(self._p("frontier", stats.rounds))
@@ -355,7 +362,9 @@ class CrawlEngine:
 
             # -- sink: fetch_log (carries the visit columns too — one
             # write instead of two; visits() is a projection view) ------
-            self._write(
+            sink_futs = []
+            sink_futs.append(sink_pool.submit(
+                self._write,
                 fetched.select(
                     "siteid", "url_key", "depth",
                     F.coalesce(
@@ -372,7 +381,7 @@ class CrawlEngine:
                 ),
                 "fetch_log",
                 r,
-            )
+            ))
 
             # -- parse (HTML gate → spans UDF → native outlinks) ----------
             html_rows = fetched.filter(
@@ -405,7 +414,8 @@ class CrawlEngine:
             parsed.persist()
 
             # -- documents sink (doc_id = canonical id vs the seed) -------
-            self._write(
+            sink_futs.append(sink_pool.submit(
+                self._write,
                 parsed.select(
                     canonical_id_udf(F.col("url_key"), F.col("seed_url")).alias(
                         "doc_id"
@@ -415,7 +425,7 @@ class CrawlEngine:
                 ),
                 "documents",
                 r,
-            )
+            ))
 
             # -- outlink candidates → admission pipeline ------------------
             cand = parsed.select(
@@ -464,7 +474,7 @@ class CrawlEngine:
                     F.lit(r).alias("round"),
                 )
             )
-            self._write(blocked, "blocked", r)
+            sink_futs.append(sink_pool.submit(self._write, blocked, "blocked", r))
 
             # -- normalize (the canonicalization Arrow UDF) + dedup -------
             new_links = (
@@ -552,6 +562,9 @@ class CrawlEngine:
                     self.read_all("seen").select("url_key"), "url_key"
                 )
 
+            for f in sink_futs:
+                f.result()  # surface sink errors before committing meta
+
             stats.total_visits += batch_count
             stats.rounds = r
             round_metrics = {
@@ -576,6 +589,7 @@ class CrawlEngine:
             frontier = self._read_round("frontier", r)
             seen = self.read_all("seen").select("siteid", "url_key")
 
+        sink_pool.shutdown(wait=True)
         return stats
 
     def resume(self) -> CrawlStats:
