@@ -517,8 +517,15 @@ class CrawlEngine:
                 new_links = anti_join_seen(
                     new_links, seen, ["siteid", "url_key"], self.bloom
                 )
-            new_frontier = new_links.unionByName(
-                deferred, allowMissingColumns=False
+            # politeness off ⇒ dequeue_batch defers nothing; skip the
+            # union and the seen-side anti-join below entirely
+            no_defer = (
+                self.cfg.max_per_host_round is None and self._budgets is None
+            )
+            new_frontier = (
+                new_links
+                if no_defer
+                else new_links.unionByName(deferred, allowMissingColumns=False)
             )
 
             # -- snapshot round state (checkpoint + lineage truncation) ---
@@ -528,10 +535,16 @@ class CrawlEngine:
             # re-reads the frontier from the snapshot)
             new_frontier.persist()
             self._write(new_frontier, "frontier", r)
-            seen_new = new_frontier.join(
-                deferred.select("siteid", "url_key"), ["siteid", "url_key"],
-                "left_anti",
-            ).select(
+            seen_src = (
+                new_frontier
+                if no_defer
+                else new_frontier.join(
+                    deferred.select("siteid", "url_key"),
+                    ["siteid", "url_key"],
+                    "left_anti",
+                )
+            )
+            seen_new = seen_src.select(
                 "siteid", "url_key", "host_bucket",
                 F.col("depth").alias("first_depth"),
                 F.lit(r).alias("round_seen"),
