@@ -1,7 +1,7 @@
 """Deduplication operators for training-data pipelines.
 
-Four tiers, each a standalone DataFrame plan over `documents(doc_id,
-text)` (task brief: first-class components alongside SURVEY.md §2):
+Tiers, each a standalone DataFrame plan over `documents(doc_id, text)`
+(task brief: first-class components alongside SURVEY.md §2):
 
 - exact:    sha256(text) hash-groupBy. One shuffle on the 32-byte hash,
             never on the text. Scale: partial agg map-side; hash is
@@ -12,8 +12,15 @@ text)` (task brief: first-class components alongside SURVEY.md §2):
             compares cross-bucket pairs — the classic sublinear path.
 - simhash:  64-bit simhash; near-dup = equal 16-bit chunk (4-band
             blocking) + hamming ≤ threshold verify, all native bitwise.
-- ngram:    exact n-gram Jaccard on token sets via explode + self-join
-            (SQL-expressible; the verification tier for minhash).
+- ngram:    exact n-gram Jaccard on token sets, two exact plans —
+            prefix-filtered AllPairs join (asymptotic path) and
+            blocked-tile numpy intersection counting (mid-scale path);
+            plus the naive join kept as the equivalence oracle.
+- clusters: near-dup pairs → connected components (iterative min-label
+            propagation) → cluster_id per doc.
+
+(The embedding-cosine tier lives in operators/similarity.py:
+`embedding_cosine_pairs` exact blocked matmul + `_lsh` variant.)
 """
 
 from __future__ import annotations
