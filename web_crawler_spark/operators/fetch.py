@@ -99,3 +99,82 @@ def make_lookup_fetcher(pages: pd.DataFrame) -> FetchFn:
         return res
 
     return fetch
+
+
+def make_http_fetcher(
+    user_agent: str = "web-crawler-spark",
+    timeout_s: float = 20.0,
+    max_retries_429: int = 2,
+    backoff_s: float = 2.0,
+    verify_tls: bool = True,
+    session_factory=None,
+) -> FetchFn:
+    """Production HTTP fetch with the reference's semantics
+    (crawler/fetcher.py:12-87 + config.py:13-18): GET with UA header,
+    20 s timeout, redirects followed, TLS verified; on 429, ≤2 retries
+    with exponential backoff 2 s → 4 s (fetcher.py:17-18,35-39).
+    Connection errors drop the row (the engine classifies missing rows
+    as "connection error"); non-2xx and non-HTML statuses flow through
+    for the admission filter (S4) to route.
+
+    Runs inside mapInPandas per host_bucket partition — executors
+    fetch, the driver never does; one partition owns one politeness
+    domain. `session_factory` injects a fake session for offline tests
+    (it is cloudpickled into the UDF closure, so it must either be
+    importable on executors or defined locally so it ships by value).
+    """
+
+    def fetch(req: pd.DataFrame) -> pd.DataFrame:
+        import time as _time
+
+        if session_factory is not None:
+            sess = session_factory()
+        else:  # pragma: no cover - network is unavailable in CI
+            import requests
+
+            sess = requests.Session()
+        rows = []
+        for url in req["url_key"]:
+            n_429 = 0
+            t0 = _time.monotonic()
+            resp = None
+            while True:
+                try:
+                    resp = sess.get(
+                        url,
+                        headers={"User-Agent": user_agent},
+                        timeout=timeout_s,
+                        allow_redirects=True,
+                        verify=verify_tls,
+                    )
+                except Exception:
+                    resp = None
+                    break
+                if resp.status_code == 429 and n_429 < max_retries_429:
+                    n_429 += 1
+                    if backoff_s > 0:
+                        _time.sleep(backoff_s * (2 ** (n_429 - 1)))
+                    continue
+                break
+            if resp is None:
+                continue  # missing row ⇒ "connection error" downstream
+            body = resp.text if isinstance(resp.text, str) else ""
+            rows.append(
+                {
+                    "url_key": url,
+                    "status_code": int(resp.status_code),
+                    "content_type": str(
+                        resp.headers.get("Content-Type", "") or ""
+                    ),
+                    "html": body,
+                    "rendered_html": None,
+                    "first_attempts_429": n_429,
+                    "response_time_ms": int(
+                        (_time.monotonic() - t0) * 1000
+                    ),
+                    "content_length": len(body.encode("utf-8", "ignore")),
+                }
+            )
+        return pd.DataFrame(rows, columns=["url_key"] + RESULT_COLS)
+
+    return fetch
