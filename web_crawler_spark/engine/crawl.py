@@ -299,7 +299,7 @@ class CrawlEngine:
         # jobs concurrently, overlapping their fixed scheduling latency
         # — all three read only persisted upstream frames and write
         # disjoint directories; the frontier/seen commit stays ordered
-        sink_pool = ThreadPoolExecutor(max_workers=3)
+        sink_pool = ThreadPoolExecutor(max_workers=4)
 
         while stats.rounds < self.cfg.max_rounds:
             frontier_count = _parquet_rows(self._p("frontier", stats.rounds))
@@ -534,7 +534,13 @@ class CrawlEngine:
             # round; lineage still truncates because the next round
             # re-reads the frontier from the snapshot)
             new_frontier.persist()
-            self._write(new_frontier, "frontier", r)
+            # frontier snapshot write overlaps with the seen-delta job
+            # below — both only need the persisted new_frontier (the
+            # first to run materializes the cache, the other reuses it);
+            # the future is joined before bloom/cuckoo/meta commit
+            frontier_fut = sink_pool.submit(
+                self._write, new_frontier, "frontier", r
+            )
             seen_src = (
                 new_frontier
                 if no_defer
@@ -550,6 +556,7 @@ class CrawlEngine:
                 F.lit(r).alias("round_seen"),
             )
             self._write(seen_new, "seen", r)
+            frontier_fut.result()
             seen_count += _parquet_rows(self._p("seen", r))
             if self._filters is not None:
                 from web_crawler_spark.operators.cuckoo import merge_new_keys
