@@ -104,3 +104,22 @@ def test_diff_self_is_unchanged(a):
     art = diff_artifact(a, a)
     assert not art["changed"]
     assert art["tallies"]["add"] == art["tallies"]["del"] == art["tallies"]["mod"] == 0
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(0, 20)), max_size=30
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_expand_ranges_property(runs):
+    """_expand_ranges (the blocked-Jaccard run-expansion primitive) must
+    equal the obvious per-run concatenation for arbitrary runs,
+    including empty runs and empty input."""
+    from web_crawler_spark.operators.dedup import _expand_ranges
+
+    starts = [s for s, _ in runs]
+    lengths = [n for _, n in runs]
+    got = _expand_ranges(starts, lengths)
+    expected = [s + i for s, n in runs for i in range(n)]
+    assert got.tolist() == expected

@@ -280,6 +280,24 @@ def ngram_jaccard_pairs(
     return verified
 
 
+def _expand_ranges(starts, lengths):
+    """[s0..s0+l0) ++ [s1..s1+l1) ++ … as one flat index vector —
+    the vectorized run-expansion primitive of the blocked tile plan
+    (no Python loop; cumsum over per-run step deltas)."""
+    import numpy as np
+
+    lengths = np.asarray(lengths, dtype=np.int64)
+    keep = lengths > 0
+    starts, lengths = np.asarray(starts, dtype=np.int64)[keep], lengths[keep]
+    if len(starts) == 0:
+        return np.array([], dtype=np.int64)
+    ends = np.cumsum(lengths)
+    step = np.ones(ends[-1], dtype=np.int64)
+    step[0] = starts[0]
+    step[ends[:-1]] = starts[1:] - (starts[:-1] + lengths[:-1]) + 1
+    return np.cumsum(step)
+
+
 def ngram_jaccard_pairs_blocked(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -355,19 +373,6 @@ def ngram_jaccard_pairs_blocked(
         ]
     )
     thr = float(threshold)
-
-    def _expand_ranges(starts, lengths):
-        """[s0..s0+l0) ++ [s1..s1+l1) ++ … as one index vector."""
-        lengths = np.asarray(lengths, dtype=np.int64)
-        keep = lengths > 0
-        starts, lengths = np.asarray(starts, dtype=np.int64)[keep], lengths[keep]
-        if len(starts) == 0:
-            return np.array([], dtype=np.int64)
-        ends = np.cumsum(lengths)
-        step = np.ones(ends[-1], dtype=np.int64)
-        step[0] = starts[0]
-        step[ends[:-1]] = starts[1:] - (starts[:-1] + lengths[:-1]) + 1
-        return np.cumsum(step)
 
     def _side_arrays(pdf):
         ids = pdf["_id"].to_numpy()
