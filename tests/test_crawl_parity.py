@@ -161,3 +161,47 @@ def test_routing_graph_matches(engine_result, oracle_results):
             if parent is not None:
                 want.add((siteid, parent, url))
     assert got == want
+
+
+def test_resume_prunes_orphan_rounds(spark, graph, tmp_path_factory,
+                                     oracle_results):
+    """Crash between the round-r+1 state writes and the meta commit
+    leaves orphan round dirs; resume must prune them or the orphaned
+    seen rows anti-join away the re-run's discoveries and silently
+    truncate the crawl."""
+    import os
+    import shutil as sh
+
+    _, pages, sites = graph
+    state = str(tmp_path_factory.mktemp("orphan_state"))
+    pages_df = spark.createDataFrame(pages)
+    sites_df = spark.createDataFrame(sites)
+    eng = CrawlEngine(
+        spark, pages_df, sites_df, config=CrawlConfig(state_dir=state,
+                                                      max_rounds=2)
+    )
+    eng.run()
+    meta2 = open(os.path.join(state, "_meta.json")).read()
+    # advance one more round so the REAL round-3 state dirs exist (the
+    # keys round 3 discovers — exactly what a torn run leaves behind)...
+    eng_mid = CrawlEngine(
+        spark, pages_df, sites_df, config=CrawlConfig(state_dir=state,
+                                                      max_rounds=3)
+    )
+    eng_mid.resume()
+    # ...then roll the meta commit back to round 2: round-3 dirs are now
+    # orphans of a crash that died before _write_meta
+    with open(os.path.join(state, "_meta.json"), "w") as f:
+        f.write(meta2)
+    eng2 = CrawlEngine(
+        spark, pages_df, sites_df, config=CrawlConfig(state_dir=state)
+    )
+    eng2.resume()
+    visits = (
+        eng2.visits().orderBy("visit_ord").select("siteid", "url_key").collect()
+    )
+    per_site = {}
+    for r in visits:
+        per_site.setdefault(r["siteid"], []).append(r["url_key"])
+    for siteid, oracle in oracle_results.items():
+        assert per_site[siteid] == [u for (u, _d, _p) in oracle.visit_order]

@@ -204,6 +204,25 @@ class CrawlEngine:
         with open(p) as f:
             return json.load(f)
 
+    def _prune_orphan_rounds(self, committed: int) -> None:
+        """Crash recovery: a failure between the round-r+1 state writes
+        and the meta commit leaves round dirs newer than the committed
+        round. They MUST be deleted before resuming — an orphaned
+        seen/round=r+1 would anti-join away every URL the re-run of
+        round r+1 rediscovers and silently truncate the crawl."""
+        for table in os.listdir(self.cfg.state_dir):
+            base = os.path.join(self.cfg.state_dir, table)
+            if not os.path.isdir(base):
+                continue
+            for d in os.listdir(base):
+                if d.startswith("round="):
+                    try:
+                        rnd = int(d.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if rnd > committed:
+                        shutil.rmtree(os.path.join(base, d))
+
     # ------------------------------------------------------------------
     # seed preparation (reference main.py:90-137: enabled sites →
     # resolve/normalize seed; driver-side, tiny dim)
@@ -258,6 +277,7 @@ class CrawlEngine:
             self._write_meta(0, 0)
         else:
             rnd, total_visits = meta["round"], meta["total_visits"]
+            self._prune_orphan_rounds(rnd)
 
         frontier = self._read_round("frontier", rnd)
         seen = self.read_all("seen").select("siteid", "url_key")
