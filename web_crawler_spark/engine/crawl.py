@@ -222,6 +222,17 @@ class CrawlEngine:
                         continue
                     if rnd > committed:
                         shutil.rmtree(os.path.join(base, d))
+        # metrics.jsonl is appended before the meta commit — drop lines
+        # for rounds the re-run will emit again
+        mp = os.path.join(self.cfg.state_dir, "metrics.jsonl")
+        if os.path.exists(mp):
+            with open(mp) as f:
+                kept = [
+                    ln for ln in f
+                    if ln.strip() and json.loads(ln)["round"] <= committed
+                ]
+            with open(mp, "w") as f:
+                f.writelines(kept)
 
     # ------------------------------------------------------------------
     # seed preparation (reference main.py:90-137: enabled sites →
