@@ -53,6 +53,23 @@ def main() -> None:
     def materialize(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
+    # warmup: spin up Python UDF workers / Arrow / JIT and fault the
+    # input parquet into the page cache so the first query's number
+    # measures the query, not session start
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _noop(x: pd.Series) -> pd.Series:
+        return x
+
+    spark.range(0, 10_000, 1, int(CPUS)).select(F.sum(_noop("id"))).collect()
+    for t in ("documents", "embeddings", "lineitem", "orders", "part",
+              "supplier", "events"):
+        spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).agg(
+            F.count("*")
+        ).collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
