@@ -59,8 +59,10 @@ def main() -> None:
     import pandas as pd
     from pyspark.sql import functions as F
 
+    # no annotations: postponed evaluation (future import) stringizes
+    # them and pandas_udf rejects the unresolvable signature
     @F.pandas_udf("long")
-    def _noop(x: pd.Series) -> pd.Series:
+    def _noop(x):
         return x
 
     spark.range(0, 10_000, 1, int(CPUS)).select(F.sum(_noop("id"))).collect()
