@@ -35,9 +35,11 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_embedding",
     "dedup_embedding_lsh",
+    "dedup_clusters",
     "text_quality",
     "ann_brute_force_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
 
 
