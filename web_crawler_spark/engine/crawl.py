@@ -332,315 +332,317 @@ class CrawlEngine:
         # disjoint directories; the frontier/seen commit stays ordered
         sink_pool = ThreadPoolExecutor(max_workers=4)
 
-        while stats.rounds < self.cfg.max_rounds:
-            frontier_count = _parquet_rows(self._p("frontier", stats.rounds))
-            if frontier_count == 0:
-                break
-            r = stats.rounds + 1
+        try:
+            while stats.rounds < self.cfg.max_rounds:
+                frontier_count = _parquet_rows(self._p("frontier", stats.rounds))
+                if frontier_count == 0:
+                    break
+                r = stats.rounds + 1
 
-            # -- dequeue ------------------------------------------------
-            batch, deferred = dequeue_batch(
-                frontier, self.cfg.max_per_host_round, self._budgets,
-                self.cfg.dequeue_salts,
-            )
-            batch_count = (
-                frontier_count
-                if self.cfg.max_per_host_round is None and self._budgets is None
-                else batch.count()
-            )
-            if batch_count == 0:
-                break
-
-            # -- visit ordinals (global BFS rank) ------------------------
-            batch = with_global_rank(
-                batch,
-                ["depth", "parent_ord", "link_idx"],
-                out="visit_ord",
-                start=stats.total_visits + 1,
-                small_threshold=self.cfg.rank_small_threshold,
-                known_count=batch_count,
-            ).join(seeds_dim, "siteid")
-
-            # -- fetch: mapInPandas callback per host_bucket partition
-            # (production HTTP seam) or equi-join vs the synthetic pages
-            # table (AQE broadcasts the small side)
-            if self._fetcher is not None:
-                from web_crawler_spark.operators.fetch import fetch_with_callback
-
-                fetched = fetch_with_callback(
-                    batch, self._fetcher, self.cfg.num_host_buckets
+                # -- dequeue ------------------------------------------------
+                batch, deferred = dequeue_batch(
+                    frontier, self.cfg.max_per_host_round, self._budgets,
+                    self.cfg.dequeue_salts,
                 )
-            else:
-                fetched = batch.join(
-                    pages, batch.url_key == pages.url, "left"
-                ).drop("url")
-            found = F.col("status_code").isNotNull()
-            retry_ok = F.coalesce(F.col("first_attempts_429"), F.lit(0)) <= MAX_RETRIES_429
-            ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))
-            is_2xx = F.col("status_code").between(200, 299)
-            ct_ok = ct.contains("text/html") | ct.contains("application/json")
-            success = found & retry_ok & is_2xx & ct_ok
-            error = (
-                F.when(~found, F.lit("connection error"))
-                .when(~retry_ok, F.lit("http error: 429"))
-                .when(~is_2xx, F.concat(F.lit("http error: "), F.col("status_code")))
-                .when(~ct_ok, F.concat(F.lit("ignored content type: "), ct))
-            )
-            fetched = fetched.withColumn("_success", success).withColumn(
-                "_error", error
-            )
-            fetched.persist()
-
-            # -- sink: fetch_log (carries the visit columns too — one
-            # write instead of two; visits() is a projection view) ------
-            sink_futs = []
-            sink_futs.append(sink_pool.submit(
-                self._write,
-                fetched.select(
-                    "siteid", "url_key", "depth",
-                    F.coalesce(
-                        F.when(~retry_ok, F.lit(429)), F.col("status_code"), F.lit(0)
-                    ).alias("status_code"),
-                    ct.alias("content_type"),
-                    F.col("_success").alias("success"),
-                    F.col("_error").alias("error"),
-                    "response_time_ms",
-                    "content_length",
-                    "visit_ord",
-                    "parent_key",
-                    F.lit(r).alias("round"),
-                ),
-                "fetch_log",
-                r,
-            ))
-
-            # -- parse (HTML gate → spans UDF → native outlinks) ----------
-            html_rows = fetched.filter(
-                F.col("_success") & ct.contains("text/html")
-            ).select(
-                "siteid", "url_key", "visit_ord", "depth", "seed_url",
-                "seed_host_key", "html", "rendered_html",
-            )
-            base_key = registrable_host_col(F.col("url_key"))
-            parsed = html_rows.withColumn(
-                "spans1", extract_spans_udf(F.col("html"), F.col("url_key"))
-            ).withColumn(
-                "_use_rendered",
-                (F.size(outlink_spans_col(F.col("spans1"), base_key)) == 0)
-                & needs_js_col(F.col("html"))
-                & F.col("rendered_html").isNotNull(),
-            )
-            # only SPA rows pay the second parse: UDF sees NULL elsewhere
-            parsed = parsed.withColumn(
-                "spans",
-                F.when(
-                    F.col("_use_rendered"),
-                    extract_spans_udf(
-                        F.when(F.col("_use_rendered"), F.col("rendered_html")),
-                        F.col("url_key"),
-                    ),
-                ).otherwise(F.col("spans1")),
-            ).withColumn("outlinks", outlink_spans_col(F.col("spans"), base_key))
-            parsed = parsed.drop("spans1", "_use_rendered", "html", "rendered_html")
-            parsed.persist()
-
-            # -- documents sink (doc_id = canonical id vs the seed) -------
-            sink_futs.append(sink_pool.submit(
-                self._write,
-                parsed.select(
-                    canonical_id_udf(F.col("url_key"), F.col("seed_url")).alias(
-                        "doc_id"
-                    ),
-                    "siteid", "spans", "visit_ord",
-                    F.lit(r).alias("round"),
-                ),
-                "documents",
-                r,
-            ))
-
-            # -- outlink candidates → admission pipeline ------------------
-            cand = parsed.select(
-                "siteid", "seed_url", "seed_host_key",
-                F.col("url_key").alias("parent_key"),
-                F.col("visit_ord").alias("parent_ord"),
-                (F.col("depth") + 1).alias("depth"),
-                F.posexplode("outlinks").alias("link_idx", "span"),
-            ).withColumn("u", F.col("span.media_ref")).drop("span")
-            cand = cand.withColumn("block_type", classify_block_col(F.col("u")))
-            domain_ok = allowed_domain_col(F.col("seed_url"), F.col("u"))
-            cand = cand.withColumn(
-                "block_type",
-                F.when(
-                    F.col("block_type").isNull() & ~domain_ok, F.lit("DOMAIN_FILTER")
-                ).otherwise(F.col("block_type")),
-            )
-            if self._robots_matcher is not None:
-                robots_ok = self._robots_matcher.allowed_udf()(
-                    url_host(F.col("u")),
-                    url_path(F.col("u")),
+                batch_count = (
+                    frontier_count
+                    if self.cfg.max_per_host_round is None and self._budgets is None
+                    else batch.count()
                 )
+                if batch_count == 0:
+                    break
+
+                # -- visit ordinals (global BFS rank) ------------------------
+                batch = with_global_rank(
+                    batch,
+                    ["depth", "parent_ord", "link_idx"],
+                    out="visit_ord",
+                    start=stats.total_visits + 1,
+                    small_threshold=self.cfg.rank_small_threshold,
+                    known_count=batch_count,
+                ).join(seeds_dim, "siteid")
+
+                # -- fetch: mapInPandas callback per host_bucket partition
+                # (production HTTP seam) or equi-join vs the synthetic pages
+                # table (AQE broadcasts the small side)
+                if self._fetcher is not None:
+                    from web_crawler_spark.operators.fetch import fetch_with_callback
+
+                    fetched = fetch_with_callback(
+                        batch, self._fetcher, self.cfg.num_host_buckets
+                    )
+                else:
+                    fetched = batch.join(
+                        pages, batch.url_key == pages.url, "left"
+                    ).drop("url")
+                found = F.col("status_code").isNotNull()
+                retry_ok = F.coalesce(F.col("first_attempts_429"), F.lit(0)) <= MAX_RETRIES_429
+                ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))
+                is_2xx = F.col("status_code").between(200, 299)
+                ct_ok = ct.contains("text/html") | ct.contains("application/json")
+                success = found & retry_ok & is_2xx & ct_ok
+                error = (
+                    F.when(~found, F.lit("connection error"))
+                    .when(~retry_ok, F.lit("http error: 429"))
+                    .when(~is_2xx, F.concat(F.lit("http error: "), F.col("status_code")))
+                    .when(~ct_ok, F.concat(F.lit("ignored content type: "), ct))
+                )
+                fetched = fetched.withColumn("_success", success).withColumn(
+                    "_error", error
+                )
+                fetched.persist()
+
+                # -- sink: fetch_log (carries the visit columns too — one
+                # write instead of two; visits() is a projection view) ------
+                sink_futs = []
+                sink_futs.append(sink_pool.submit(
+                    self._write,
+                    fetched.select(
+                        "siteid", "url_key", "depth",
+                        F.coalesce(
+                            F.when(~retry_ok, F.lit(429)), F.col("status_code"), F.lit(0)
+                        ).alias("status_code"),
+                        ct.alias("content_type"),
+                        F.col("_success").alias("success"),
+                        F.col("_error").alias("error"),
+                        "response_time_ms",
+                        "content_length",
+                        "visit_ord",
+                        "parent_key",
+                        F.lit(r).alias("round"),
+                    ),
+                    "fetch_log",
+                    r,
+                ))
+
+                # -- parse (HTML gate → spans UDF → native outlinks) ----------
+                html_rows = fetched.filter(
+                    F.col("_success") & ct.contains("text/html")
+                ).select(
+                    "siteid", "url_key", "visit_ord", "depth", "seed_url",
+                    "seed_host_key", "html", "rendered_html",
+                )
+                base_key = registrable_host_col(F.col("url_key"))
+                parsed = html_rows.withColumn(
+                    "spans1", extract_spans_udf(F.col("html"), F.col("url_key"))
+                ).withColumn(
+                    "_use_rendered",
+                    (F.size(outlink_spans_col(F.col("spans1"), base_key)) == 0)
+                    & needs_js_col(F.col("html"))
+                    & F.col("rendered_html").isNotNull(),
+                )
+                # only SPA rows pay the second parse: UDF sees NULL elsewhere
+                parsed = parsed.withColumn(
+                    "spans",
+                    F.when(
+                        F.col("_use_rendered"),
+                        extract_spans_udf(
+                            F.when(F.col("_use_rendered"), F.col("rendered_html")),
+                            F.col("url_key"),
+                        ),
+                    ).otherwise(F.col("spans1")),
+                ).withColumn("outlinks", outlink_spans_col(F.col("spans"), base_key))
+                parsed = parsed.drop("spans1", "_use_rendered", "html", "rendered_html")
+                parsed.persist()
+
+                # -- documents sink (doc_id = canonical id vs the seed) -------
+                sink_futs.append(sink_pool.submit(
+                    self._write,
+                    parsed.select(
+                        canonical_id_udf(F.col("url_key"), F.col("seed_url")).alias(
+                            "doc_id"
+                        ),
+                        "siteid", "spans", "visit_ord",
+                        F.lit(r).alias("round"),
+                    ),
+                    "documents",
+                    r,
+                ))
+
+                # -- outlink candidates → admission pipeline ------------------
+                cand = parsed.select(
+                    "siteid", "seed_url", "seed_host_key",
+                    F.col("url_key").alias("parent_key"),
+                    F.col("visit_ord").alias("parent_ord"),
+                    (F.col("depth") + 1).alias("depth"),
+                    F.posexplode("outlinks").alias("link_idx", "span"),
+                ).withColumn("u", F.col("span.media_ref")).drop("span")
+                cand = cand.withColumn("block_type", classify_block_col(F.col("u")))
+                domain_ok = allowed_domain_col(F.col("seed_url"), F.col("u"))
                 cand = cand.withColumn(
                     "block_type",
                     F.when(
-                        F.col("block_type").isNull() & ~robots_ok, F.lit("ROBOTS")
+                        F.col("block_type").isNull() & ~domain_ok, F.lit("DOMAIN_FILTER")
                     ).otherwise(F.col("block_type")),
                 )
-            cand.persist()
+                if self._robots_matcher is not None:
+                    robots_ok = self._robots_matcher.allowed_udf()(
+                        url_host(F.col("u")),
+                        url_path(F.col("u")),
+                    )
+                    cand = cand.withColumn(
+                        "block_type",
+                        F.when(
+                            F.col("block_type").isNull() & ~robots_ok, F.lit("ROBOTS")
+                        ).otherwise(F.col("block_type")),
+                    )
+                cand.persist()
 
-            blocked = cand.filter(F.col("block_type").isNotNull()).select(
-                "siteid",
-                F.col("u").alias("url"),
-                "block_type",
-                F.lit(r).alias("round"),
-            )
-            # fetch-stage rejects also land in the block report
-            # (worker.py:168-173)
-            blocked = blocked.unionByName(
-                fetched.filter(
-                    F.col("_error").startswith("ignored content type")
-                ).select(
+                blocked = cand.filter(F.col("block_type").isNotNull()).select(
                     "siteid",
-                    F.col("url_key").alias("url"),
-                    F.lit("FETCH_IGNORED_CONTENT_TYPE").alias("block_type"),
+                    F.col("u").alias("url"),
+                    "block_type",
                     F.lit(r).alias("round"),
                 )
-            )
-            sink_futs.append(sink_pool.submit(self._write, blocked, "blocked", r))
+                # fetch-stage rejects also land in the block report
+                # (worker.py:168-173)
+                blocked = blocked.unionByName(
+                    fetched.filter(
+                        F.col("_error").startswith("ignored content type")
+                    ).select(
+                        "siteid",
+                        F.col("url_key").alias("url"),
+                        F.lit("FETCH_IGNORED_CONTENT_TYPE").alias("block_type"),
+                        F.lit(r).alias("round"),
+                    )
+                )
+                sink_futs.append(sink_pool.submit(self._write, blocked, "blocked", r))
 
-            # -- normalize (the canonicalization Arrow UDF) + dedup -------
-            new_links = (
-                cand.filter(F.col("block_type").isNull())
-                .withColumn("url_key", normalize_url_udf(F.col("u")))
-                .drop("u", "block_type", "seed_url", "seed_host_key")
-            )
-            if self.cfg.max_depth is not None:
-                new_links = new_links.filter(
-                    F.col("depth") <= F.lit(self.cfg.max_depth)
+                # -- normalize (the canonicalization Arrow UDF) + dedup -------
+                new_links = (
+                    cand.filter(F.col("block_type").isNull())
+                    .withColumn("url_key", normalize_url_udf(F.col("u")))
+                    .drop("u", "block_type", "seed_url", "seed_host_key")
                 )
-            # first-wins inside the batch (frontier.py:46-49 under BFS order)
-            new_links = first_wins(
-                new_links,
-                ["siteid", "url_key"],
-                ["depth", "parent_ord", "link_idx"],
-            )
-            new_links = self._frontier_row_cols(
-                new_links.select(
-                    "siteid", "url_key", "depth", "parent_ord", "link_idx",
-                    "parent_key",
-                )
-            )
-            # cross-round dedup: prefilter + exact anti-join (FP-safe)
-            probed = None
-            if self._filters is not None:
-                from web_crawler_spark.operators.cuckoo import probe_candidates
-
-                probed = probe_candidates(new_links, self._filters).persist()
-                definite = probed.filter(~F.col("_maybe_seen")).drop(
-                    "_maybe_seen"
-                )
-                suspects = (
-                    probed.filter(F.col("_maybe_seen"))
-                    .drop("_maybe_seen")
-                    .join(seen, ["siteid", "url_key"], "left_anti")
-                )
-                new_links = definite.unionByName(suspects)
-            else:
-                new_links = anti_join_seen(
-                    new_links, seen, ["siteid", "url_key"], self.bloom
-                )
-            # politeness off ⇒ dequeue_batch defers nothing; skip the
-            # union and the seen-side anti-join below entirely
-            no_defer = (
-                self.cfg.max_per_host_round is None and self._budgets is None
-            )
-            new_frontier = (
-                new_links
-                if no_defer
-                else new_links.unionByName(deferred, allowMissingColumns=False)
-            )
-
-            # -- snapshot round state (checkpoint + lineage truncation) ---
-            # persist once: the same rows feed the parquet snapshot AND
-            # the seen-delta below (saves a write→read round trip per
-            # round; lineage still truncates because the next round
-            # re-reads the frontier from the snapshot)
-            new_frontier.persist()
-            # frontier snapshot write overlaps with the seen-delta job
-            # below — both only need the persisted new_frontier (the
-            # first to run materializes the cache, the other reuses it);
-            # the future is joined before bloom/cuckoo/meta commit
-            frontier_fut = sink_pool.submit(
-                self._write, new_frontier, "frontier", r
-            )
-            seen_src = (
-                new_frontier
-                if no_defer
-                else new_frontier.join(
-                    deferred.select("siteid", "url_key"),
+                if self.cfg.max_depth is not None:
+                    new_links = new_links.filter(
+                        F.col("depth") <= F.lit(self.cfg.max_depth)
+                    )
+                # first-wins inside the batch (frontier.py:46-49 under BFS order)
+                new_links = first_wins(
+                    new_links,
                     ["siteid", "url_key"],
-                    "left_anti",
+                    ["depth", "parent_ord", "link_idx"],
                 )
-            )
-            seen_new = seen_src.select(
-                "siteid", "url_key", "host_bucket",
-                F.col("depth").alias("first_depth"),
-                F.lit(r).alias("round_seen"),
-            )
-            self._write(seen_new, "seen", r)
-            frontier_fut.result()
-            seen_count += _parquet_rows(self._p("seen", r))
-            if self._filters is not None:
-                from web_crawler_spark.operators.cuckoo import merge_new_keys
-
-                self._write(
-                    merge_new_keys(self._filters, self._read_round("seen", r)),
-                    "cuckoo",
-                    r,
+                new_links = self._frontier_row_cols(
+                    new_links.select(
+                        "siteid", "url_key", "depth", "parent_ord", "link_idx",
+                        "parent_key",
+                    )
                 )
-                self._filters = self._read_round("cuckoo", r)
-            if probed is not None:
-                probed.unpersist()
-            if self.bloom is not None:
-                self.bloom.add_keys(
-                    self._read_round("seen", r).select("url_key"), "url_key"
+                # cross-round dedup: prefilter + exact anti-join (FP-safe)
+                probed = None
+                if self._filters is not None:
+                    from web_crawler_spark.operators.cuckoo import probe_candidates
+
+                    probed = probe_candidates(new_links, self._filters).persist()
+                    definite = probed.filter(~F.col("_maybe_seen")).drop(
+                        "_maybe_seen"
+                    )
+                    suspects = (
+                        probed.filter(F.col("_maybe_seen"))
+                        .drop("_maybe_seen")
+                        .join(seen, ["siteid", "url_key"], "left_anti")
+                    )
+                    new_links = definite.unionByName(suspects)
+                else:
+                    new_links = anti_join_seen(
+                        new_links, seen, ["siteid", "url_key"], self.bloom
+                    )
+                # politeness off ⇒ dequeue_batch defers nothing; skip the
+                # union and the seen-side anti-join below entirely
+                no_defer = (
+                    self.cfg.max_per_host_round is None and self._budgets is None
                 )
-            elif seen_count >= self.cfg.use_bloom_min_seen:
-                self.bloom = BroadcastBloom.empty(
-                    max(self.cfg.bloom_expected, 2 * seen_count),
-                    self.cfg.bloom_fpp,
-                )
-                self.bloom.add_keys(
-                    self.read_all("seen").select("url_key"), "url_key"
+                new_frontier = (
+                    new_links
+                    if no_defer
+                    else new_links.unionByName(deferred, allowMissingColumns=False)
                 )
 
-            for f in sink_futs:
-                f.result()  # surface sink errors before committing meta
+                # -- snapshot round state (checkpoint + lineage truncation) ---
+                # persist once: the same rows feed the parquet snapshot AND
+                # the seen-delta below (saves a write→read round trip per
+                # round; lineage still truncates because the next round
+                # re-reads the frontier from the snapshot)
+                new_frontier.persist()
+                # frontier snapshot write overlaps with the seen-delta job
+                # below — both only need the persisted new_frontier (the
+                # first to run materializes the cache, the other reuses it);
+                # the future is joined before bloom/cuckoo/meta commit
+                frontier_fut = sink_pool.submit(
+                    self._write, new_frontier, "frontier", r
+                )
+                seen_src = (
+                    new_frontier
+                    if no_defer
+                    else new_frontier.join(
+                        deferred.select("siteid", "url_key"),
+                        ["siteid", "url_key"],
+                        "left_anti",
+                    )
+                )
+                seen_new = seen_src.select(
+                    "siteid", "url_key", "host_bucket",
+                    F.col("depth").alias("first_depth"),
+                    F.lit(r).alias("round_seen"),
+                )
+                self._write(seen_new, "seen", r)
+                frontier_fut.result()
+                seen_count += _parquet_rows(self._p("seen", r))
+                if self._filters is not None:
+                    from web_crawler_spark.operators.cuckoo import merge_new_keys
 
-            stats.total_visits += batch_count
-            stats.rounds = r
-            round_metrics = {
-                "round": r,
-                "visited": batch_count,
-                "frontier": frontier_count,
-                "deferred": frontier_count - batch_count,
-                "new_frontier": _parquet_rows(self._p("frontier", r)),
-                "new_seen": _parquet_rows(self._p("seen", r)),
-                "blocked": _parquet_rows(self._p("blocked", r)),
-                "documents": _parquet_rows(self._p("documents", r)),
-            }
-            stats.per_round.append(round_metrics)
-            self._append_metrics(round_metrics)
-            self._write_meta(r, stats.total_visits)
+                    self._write(
+                        merge_new_keys(self._filters, self._read_round("seen", r)),
+                        "cuckoo",
+                        r,
+                    )
+                    self._filters = self._read_round("cuckoo", r)
+                if probed is not None:
+                    probed.unpersist()
+                if self.bloom is not None:
+                    self.bloom.add_keys(
+                        self._read_round("seen", r).select("url_key"), "url_key"
+                    )
+                elif seen_count >= self.cfg.use_bloom_min_seen:
+                    self.bloom = BroadcastBloom.empty(
+                        max(self.cfg.bloom_expected, 2 * seen_count),
+                        self.cfg.bloom_fpp,
+                    )
+                    self.bloom.add_keys(
+                        self.read_all("seen").select("url_key"), "url_key"
+                    )
 
-            fetched.unpersist()
-            parsed.unpersist()
-            cand.unpersist()
-            new_frontier.unpersist()
+                for f in sink_futs:
+                    f.result()  # surface sink errors before committing meta
 
-            frontier = self._read_round("frontier", r)
-            seen = self.read_all("seen").select("siteid", "url_key")
+                stats.total_visits += batch_count
+                stats.rounds = r
+                round_metrics = {
+                    "round": r,
+                    "visited": batch_count,
+                    "frontier": frontier_count,
+                    "deferred": frontier_count - batch_count,
+                    "new_frontier": _parquet_rows(self._p("frontier", r)),
+                    "new_seen": _parquet_rows(self._p("seen", r)),
+                    "blocked": _parquet_rows(self._p("blocked", r)),
+                    "documents": _parquet_rows(self._p("documents", r)),
+                }
+                stats.per_round.append(round_metrics)
+                self._append_metrics(round_metrics)
+                self._write_meta(r, stats.total_visits)
 
-        sink_pool.shutdown(wait=True)
+                fetched.unpersist()
+                parsed.unpersist()
+                cand.unpersist()
+                new_frontier.unpersist()
+
+                frontier = self._read_round("frontier", r)
+                seen = self.read_all("seen").select("siteid", "url_key")
+
+        finally:
+            sink_pool.shutdown(wait=True)
         return stats
 
     def resume(self) -> CrawlStats:
