@@ -193,10 +193,18 @@ def test_resume_prunes_orphan_rounds(spark, graph, tmp_path_factory,
     # orphans of a crash that died before _write_meta
     with open(os.path.join(state, "_meta.json"), "w") as f:
         f.write(meta2)
+    # a crash mid-append also leaves a torn trailing metrics line —
+    # resume must drop it (it belongs to an uncommitted round), not die
+    with open(os.path.join(state, "metrics.jsonl"), "a") as f:
+        f.write('{"round": 99, "tru')
     eng2 = CrawlEngine(
         spark, pages_df, sites_df, config=CrawlConfig(state_dir=state)
     )
     eng2.resume()
+    import json as _json
+
+    for ln in open(os.path.join(state, "metrics.jsonl")):
+        _json.loads(ln)  # every surviving line must parse
     visits = (
         eng2.visits().orderBy("visit_ord").select("siteid", "url_key").collect()
     )

@@ -71,6 +71,29 @@ def test_blocked_equals_naive(docs):
         assert blocked.equals(naive), (n, t, blocked, naive)
 
 
+def test_blocked_string_ids(spark, docs):
+    """String doc_ids (crawl documents schema) ride a hash surrogate
+    through the blocked plan and come back as the original strings —
+    same pairs as the prefix plan, which preserves id type natively."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.operators.dedup import ngram_jaccard_pairs_blocked
+
+    sdocs = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        "text",
+    )
+    blocked = ngram_jaccard_pairs_blocked(
+        sdocs, n=2, threshold=0.3, num_blocks=4
+    ).toPandas()
+    prefix = ngram_jaccard_pairs(sdocs, n=2, threshold=0.3).toPandas()
+    key = ["id_a", "id_b"]
+    blocked = blocked.sort_values(key).reset_index(drop=True)
+    prefix = prefix.sort_values(key).reset_index(drop=True)
+    assert blocked["id_a"].map(lambda s: s.startswith("doc-")).all()
+    assert blocked.equals(prefix), (blocked, prefix)
+
+
 def test_ngram_finds_planted_pairs(docs):
     pairs = ngram_jaccard_pairs(docs, n=2, threshold=0.5).toPandas()
     got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}

@@ -48,6 +48,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from web_crawler_spark.functions.html import (
     extract_spans_udf,
@@ -66,7 +67,11 @@ from web_crawler_spark.functions.urls import (
 from web_crawler_spark.operators.politeness import dequeue_batch, host_budgets
 from web_crawler_spark.operators.ranking import first_wins, with_global_rank
 from web_crawler_spark.operators.robots import RobotsMatcher
-from web_crawler_spark.operators.seen import BroadcastBloom, anti_join_seen
+from web_crawler_spark.operators.seen import (
+    BroadcastBloom,
+    ShardedBloom,
+    anti_join_seen,
+)
 from web_crawler_spark.oracle.semantics import normalize_fetch_url
 
 MAX_RETRIES_429 = 2  # crawler/fetcher.py:17
@@ -94,6 +99,10 @@ class CrawlConfig:
     max_rounds: int = 10_000
     bloom_expected: int = 1_000_000
     bloom_fpp: float = 0.01
+    # >1 ⇒ ShardedBloom keyed by host_bucket: the 10^10-key path where
+    # a single filter is a multi-GB broadcast (12 GB → ~190 MB/shard at
+    # 64 shards; see operators/seen.py)
+    bloom_shards: int = 1
     use_bloom_min_seen: int = 50_000  # below this, plain anti-join is cheaper
     rank_small_threshold: int = 100_000
     respect_robots: bool = False
@@ -158,8 +167,27 @@ class CrawlEngine:
             if robots_df is not None and self.cfg.max_per_host_round is not None
             else None
         )
-        self.bloom: BroadcastBloom | None = None
+        self.bloom: BroadcastBloom | ShardedBloom | None = None
         self._fetcher = fetcher
+
+    # ------------------------------------------------------------------
+    # seen-bloom helpers (flat vs host_bucket-sharded)
+    # ------------------------------------------------------------------
+    def _new_bloom(self, seen_count: int) -> "BroadcastBloom | ShardedBloom":
+        expected = max(self.cfg.bloom_expected, 2 * seen_count)
+        if self.cfg.bloom_shards > 1:
+            return ShardedBloom.empty(
+                expected, self.cfg.bloom_fpp, self.cfg.bloom_shards
+            )
+        return BroadcastBloom.empty(expected, self.cfg.bloom_fpp)
+
+    def _bloom_add(self, df: DataFrame) -> None:
+        if isinstance(self.bloom, ShardedBloom):
+            self.bloom.add_keys(
+                df.select("url_key", "host_bucket"), "url_key", "host_bucket"
+            )
+        else:
+            self.bloom.add_keys(df.select("url_key"), "url_key")
 
     # ------------------------------------------------------------------
     # state-table helpers (parquet snapshots; Iceberg MERGE in production)
@@ -223,16 +251,28 @@ class CrawlEngine:
                     if rnd > committed:
                         shutil.rmtree(os.path.join(base, d))
         # metrics.jsonl is appended before the meta commit — drop lines
-        # for rounds the re-run will emit again
+        # for rounds the re-run will emit again. A crash mid-append (the
+        # exact scenario this recovery exists for) can leave a torn
+        # trailing line: unparseable lines belong to uncommitted rounds
+        # by construction, so drop them instead of crashing resume().
         mp = os.path.join(self.cfg.state_dir, "metrics.jsonl")
         if os.path.exists(mp):
+            kept = []
             with open(mp) as f:
-                kept = [
-                    ln for ln in f
-                    if ln.strip() and json.loads(ln)["round"] <= committed
-                ]
-            with open(mp, "w") as f:
+                for ln in f:
+                    if not ln.strip():
+                        continue
+                    try:
+                        if json.loads(ln)["round"] <= committed:
+                            kept.append(ln)
+                    except (json.JSONDecodeError, KeyError, TypeError):
+                        continue
+            # temp file + atomic replace: a crash during the prune
+            # itself must not truncate the file
+            tmp = mp + ".tmp"
+            with open(tmp, "w") as f:
                 f.writelines(kept)
+            os.replace(tmp, mp)
 
     # ------------------------------------------------------------------
     # seed preparation (reference main.py:90-137: enabled sites →
@@ -291,7 +331,7 @@ class CrawlEngine:
             self._prune_orphan_rounds(rnd)
 
         frontier = self._read_round("frontier", rnd)
-        seen = self.read_all("seen").select("siteid", "url_key")
+        seen = self.read_all("seen").select("siteid", "url_key", "host_bucket")
         # lazy bloom: only built (once, from the seen table) after the
         # seen set outgrows the plain anti-join; below that the bloom
         # build/collect per round is pure overhead
@@ -303,10 +343,8 @@ class CrawlEngine:
             self.cfg.seen_filter == "bloom"
             and seen_count >= self.cfg.use_bloom_min_seen
         ):
-            self.bloom = BroadcastBloom.empty(
-                max(self.cfg.bloom_expected, 2 * seen_count), self.cfg.bloom_fpp
-            )
-            self.bloom.add_keys(seen, "url_key")
+            self.bloom = self._new_bloom(seen_count)
+            self._bloom_add(seen)
 
         # per-host-bucket cuckoo filters (north rule seen-set mechanism)
         self._filters = None
@@ -573,10 +611,20 @@ class CrawlEngine:
                 frontier_fut = sink_pool.submit(
                     self._write, new_frontier, "frontier", r
                 )
+                # With a real (nondeterministic) fetcher, losing cached
+                # new_frontier blocks on a cluster would recompute
+                # nondeterministic lineage (HTTP fetch, dequeue) and let
+                # seen diverge from the written frontier snapshot —
+                # derive seen from the WRITTEN parquet in that case.
+                # Fixture mode keeps the overlap (deterministic lineage).
+                seen_base = new_frontier
+                if self._fetcher is not None:
+                    frontier_fut.result()
+                    seen_base = self._read_round("frontier", r)
                 seen_src = (
-                    new_frontier
+                    seen_base
                     if no_defer
-                    else new_frontier.join(
+                    else seen_base.join(
                         deferred.select("siteid", "url_key"),
                         ["siteid", "url_key"],
                         "left_anti",
@@ -602,17 +650,13 @@ class CrawlEngine:
                 if probed is not None:
                     probed.unpersist()
                 if self.bloom is not None:
-                    self.bloom.add_keys(
-                        self._read_round("seen", r).select("url_key"), "url_key"
-                    )
-                elif seen_count >= self.cfg.use_bloom_min_seen:
-                    self.bloom = BroadcastBloom.empty(
-                        max(self.cfg.bloom_expected, 2 * seen_count),
-                        self.cfg.bloom_fpp,
-                    )
-                    self.bloom.add_keys(
-                        self.read_all("seen").select("url_key"), "url_key"
-                    )
+                    self._bloom_add(self._read_round("seen", r))
+                elif (
+                    self.cfg.seen_filter == "bloom"
+                    and seen_count >= self.cfg.use_bloom_min_seen
+                ):
+                    self.bloom = self._new_bloom(seen_count)
+                    self._bloom_add(self.read_all("seen"))
 
                 for f in sink_futs:
                     f.result()  # surface sink errors before committing meta
@@ -755,10 +799,24 @@ class CrawlEngine:
             assert total == meta["total_visits"], (total, meta["total_visits"])
         return {"total": total, "ok": ok, "ignored": ignored, "failed": failed}
 
-    def blocked_report(self) -> DataFrame:
-        """A4/P10: per-rule counts + URL lists (worker.py:168-247)."""
-        return (
-            self.read_all("blocked")
+    def blocked_report(self, max_urls: int = 10_000) -> DataFrame:
+        """A4/P10: per-rule counts + URL lists (worker.py:168-247).
+
+        Counts are exact; the URL list is a deterministic first-N
+        sample (url-sorted). The reference accumulates EVERY url per
+        rule — at 100× one block_type group would hold ~10^9 URLs in a
+        single task's agg buffer, so the sample is rank-limited BEFORE
+        the collect (WindowGroupLimit evaluates the top-N below the
+        exchange, map-side), and only ≤ max_urls rows per rule ever
+        reach a buffer. Default is far above fixture sizes, so
+        fixture-parity output is unchanged."""
+        b = self.read_all("blocked")
+        counts = b.groupBy("block_type").agg(F.count("*").alias("count"))
+        w = Window.partitionBy("block_type").orderBy("url")
+        sample = (
+            b.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_urls)
             .groupBy("block_type")
-            .agg(F.count("*").alias("count"), F.collect_list("url").alias("urls"))
+            .agg(F.sort_array(F.collect_list("url")).alias("urls"))
         )
+        return counts.join(sample, "block_type", "left")

@@ -324,6 +324,11 @@ def ngram_jaccard_pairs_blocked(
     and naive plans (exact counts, same rounding); ~6× faster at sf0.1.
     Beyond ~10^6 docs the m_a·m_b tile bins outgrow memory — switch
     back to ngram_jaccard_pairs.
+
+    Non-integral id columns (e.g. the crawl documents schema's string
+    doc_id) ride through an xxhash64 surrogate and are mapped back to
+    the original ids at the end (pair order re-established with
+    least/greatest), so the output matches the sibling plans' id type.
     """
     import numpy as np
     import pandas as pd
@@ -335,8 +340,18 @@ def ngram_jaccard_pairs_blocked(
     )
 
     nb = num_blocks
-    grams = _gram_arrays(docs, id_col, text_col, n).select(
-        F.col("_id").cast("long").alias("_id"),
+    integral_id = dict(docs.dtypes)[id_col] in (
+        "tinyint", "smallint", "int", "bigint",
+    )
+    ga = _gram_arrays(docs, id_col, text_col, n)
+    if integral_id:
+        id_expr = F.col("_id").cast("long")
+    else:
+        # deterministic 64-bit surrogate; collision P ≈ n²/2^65 — the
+        # same budget the hashed-gram trick above already accepts
+        id_expr = F.xxhash64(F.col("_id").cast("string"))
+    grams = ga.select(
+        id_expr.alias("_id"),
         F.transform("grams", lambda g: F.xxhash64(g)).alias("grams"),
         F.pmod(F.xxhash64(F.col("_id").cast("string")), F.lit(nb))
         .cast("int")
@@ -445,17 +460,46 @@ def ngram_jaccard_pairs_blocked(
             ii, jj = np.where(J >= thr)
         ia, ib, jv = a_ids[ii], b_ids[jj], J[ii, jj]
         lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-        # HALF_UP to 4 decimals (matches Spark F.round / DuckDB round;
-        # np.round would use banker's rounding and diverge on ties)
-        return pd.DataFrame(
-            {
-                "id_a": lo,
-                "id_b": hi,
-                "jaccard": np.floor(jv * 1e4 + 0.5) / 1e4,
-            }
-        )
+        # HALF_UP to 4 decimals over the SHORTEST-DECIMAL repr, exactly
+        # like Spark F.round / DuckDB round (BigDecimal.valueOf
+        # semantics). floor(jv*1e4+0.5) on the raw double rounds DOWN a
+        # value whose double sits just below a 4th-decimal tie but
+        # prints as x.xxxx5; np.round would use banker's rounding.
+        # Survivors are few (post-threshold), so the scalar loop is off
+        # the hot path.
+        from decimal import ROUND_HALF_UP, Decimal
 
-    return replicated.groupBy("ba", "bb").applyInPandas(tile_pairs, out_schema)
+        q = Decimal("0.0001")
+        jr = np.array(
+            [
+                float(Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP))
+                for v in jv
+            ],
+            dtype=np.float64,
+        )
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "jaccard": jr})
+
+    pairs = replicated.groupBy("ba", "bb").applyInPandas(tile_pairs, out_schema)
+    if integral_id:
+        return pairs
+    # map surrogates back to the original ids; least/greatest restores
+    # the id_a < id_b contract under the original type's ordering
+    m = ga.select(F.col("_id").alias("_orig"), id_expr.alias("_sid")).distinct()
+    return (
+        pairs.join(
+            m.select(F.col("_sid").alias("id_a"), F.col("_orig").alias("_oa")),
+            "id_a",
+        )
+        .join(
+            m.select(F.col("_sid").alias("id_b"), F.col("_orig").alias("_ob")),
+            "id_b",
+        )
+        .select(
+            F.least("_oa", "_ob").alias("id_a"),
+            F.greatest("_oa", "_ob").alias("id_b"),
+            "jaccard",
+        )
+    )
 
 
 def ngram_jaccard_pairs_naive(
@@ -558,6 +602,15 @@ def dedup_clusters(
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    else:
+        # never hit the fixed point: a component with diameter >
+        # max_iters would silently split clusters, violating the
+        # "cluster_id = min reachable id" contract — fail loudly
+        edges.unpersist()
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters); raise max_iters"
+        )
     edges.unpersist()
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")

@@ -14,9 +14,14 @@ hashes (xxhash64 + murmur3), so the only Python work is a vectorized
 numpy bit-test over Arrow batches. Build is a treeAggregate of
 per-partition bitmaps — the driver only ever holds the m-bit array
 (e.g. ~12 MB for 10M keys @ 1% fpp). At 10^10 keys a single broadcast
-bloom would be ~12 GB: the scale-out path is sharding the filter by
-host_bucket (each executor partition only needs the shard matching its
-candidates' bucket); the sharding seam is `num_shards`.
+bloom would be ~12 GB: the scale-out path is `ShardedBloom` — the
+filter is split into `num_shards` independent blooms keyed by
+host_bucket (12 GB → ~190 MB/shard at 64 shards). Because the frontier
+and seen tables are already hash-partitioned by host_bucket, every
+executor task only ever consults ONE shard; local mode broadcasts the
+shard list whole, but the cluster path ships shard s only to the tasks
+of partition s (torrent-broadcast per shard, or a shard store read in
+`mapInPandas` keyed by the partition's bucket).
 """
 
 from __future__ import annotations
@@ -127,12 +132,110 @@ class BroadcastBloom:
         return maybe_seen
 
 
+class ShardedBloom:
+    """`num_shards` independent blooms, shard = shard_col % num_shards.
+
+    The 10^10-key path: a single bloom at that scale is a ~12 GB
+    broadcast; 64 shards cut it to ~190 MB each, and a frontier that is
+    already partitioned by host_bucket means each task tests exactly
+    one shard. Build mirrors ``BroadcastBloom.add_keys``: per-partition
+    per-shard bitmaps built executor-side, only (shard, bitmap) rows
+    cross the wire, OR-merged per shard on the driver.
+
+    FP-safe identically to the flat bloom: positives go to the exact
+    anti-join, negatives are guaranteed-new.
+    """
+
+    def __init__(self, num_shards: int, num_bits: int, num_hashes: int):
+        self.num_shards = int(num_shards)
+        self.shards = [
+            BroadcastBloom(num_bits, num_hashes) for _ in range(self.num_shards)
+        ]
+
+    @classmethod
+    def empty(
+        cls, expected_items: int, fpp: float = 0.01, num_shards: int = 8
+    ) -> "ShardedBloom":
+        per_shard = max(1, (int(expected_items) + num_shards - 1) // num_shards)
+        m, k = BroadcastBloom.size_for(per_shard, fpp)
+        return cls(num_shards, m, k)
+
+    @property
+    def approx_items(self) -> int:
+        return sum(s.approx_items for s in self.shards)
+
+    def _shard_col(self, shard_col: str):
+        return F.pmod(F.col(shard_col).cast("long"), F.lit(self.num_shards)).cast(
+            "int"
+        ).alias("_bshard")
+
+    def add_keys(self, df: DataFrame, col: str, shard_col: str) -> None:
+        """OR per-(partition, shard) bitmaps into the shard filters.
+
+        When ``df`` is partitioned by ``shard_col`` each task builds
+        exactly one local bitmap; otherwise up to num_shards small ones.
+        """
+        num_shards = self.num_shards
+        num_bits = self.shards[0].num_bits
+        num_hashes = self.shards[0].num_hashes
+        hashed = df.select(self._shard_col(shard_col), *BroadcastBloom.hash_cols(col))
+
+        def build(it):
+            local: dict[int, BroadcastBloom] = {}
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                for s, grp in pdf.groupby("_bshard"):
+                    f = local.setdefault(
+                        int(s), BroadcastBloom(num_bits, num_hashes)
+                    )
+                    f.add_hashes(grp["_bh1"].to_numpy(), grp["_bh2"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "shard": list(local),
+                    "words": [f.words.tobytes() for f in local.values()],
+                    "n": [f.approx_items for f in local.values()],
+                }
+            )
+
+        for row in hashed.mapInPandas(build, "shard int, words binary, n long").collect():
+            tgt = self.shards[row["shard"]]
+            tgt.words |= np.frombuffer(row["words"], dtype=np.uint64)
+            tgt.approx_items += row["n"]
+
+    def maybe_seen_udf(self):
+        """Vectorized membership over (shard, h1, h2) columns."""
+        num_bits = self.shards[0].num_bits
+        num_hashes = self.shards[0].num_hashes
+        words = [s.words for s in self.shards]
+
+        @F.pandas_udf(BooleanType())
+        def maybe_seen(
+            shard: pd.Series, h1: pd.Series, h2: pd.Series
+        ) -> pd.Series:
+            if not len(shard):
+                return pd.Series([], dtype=bool)
+            out = np.zeros(len(shard), dtype=bool)
+            sv = shard.to_numpy()
+            h1v, h2v = h1.to_numpy(), h2.to_numpy()
+            # a host_bucket-partitioned frontier yields ONE group here
+            for s in np.unique(sv):
+                f = BroadcastBloom(num_bits, num_hashes)
+                f.words = words[int(s)]
+                idx = sv == s
+                out[idx] = f.contains_hashes(h1v[idx], h2v[idx])
+            return pd.Series(out)
+
+        return maybe_seen
+
+
 def anti_join_seen(
     candidates: DataFrame,
     seen: DataFrame,
     key_cols: list[str],
-    bloom: BroadcastBloom | None = None,
+    bloom: "BroadcastBloom | ShardedBloom | None" = None,
     bloom_col: str = "url_key",
+    shard_col: str = "host_bucket",
 ) -> DataFrame:
     """Rows of ``candidates`` whose key is NOT in ``seen``.
 
@@ -143,11 +246,18 @@ def anti_join_seen(
         return candidates.join(seen, key_cols, "left_anti")
     # persist: both branches below reference this plan — without the
     # barrier the ENTIRE upstream candidate pipeline executes twice
-    with_h = (
-        candidates.select("*", *BroadcastBloom.hash_cols(bloom_col))
-        .withColumn("_maybe", bloom.maybe_seen_udf()(F.col("_bh1"), F.col("_bh2")))
-        .persist()
-    )
+    with_h = candidates.select("*", *BroadcastBloom.hash_cols(bloom_col))
+    if isinstance(bloom, ShardedBloom):
+        with_h = with_h.withColumn(
+            "_maybe",
+            bloom.maybe_seen_udf()(
+                bloom._shard_col(shard_col), F.col("_bh1"), F.col("_bh2")
+            ),
+        ).persist()
+    else:
+        with_h = with_h.withColumn(
+            "_maybe", bloom.maybe_seen_udf()(F.col("_bh1"), F.col("_bh2"))
+        ).persist()
     definite_new = with_h.filter(~F.col("_maybe"))
     suspects = with_h.filter(F.col("_maybe")).join(seen, key_cols, "left_anti")
     return definite_new.unionByName(suspects).drop("_bh1", "_bh2", "_maybe")

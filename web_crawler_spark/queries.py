@@ -39,6 +39,7 @@ from web_crawler_spark.functions.text import (
 from web_crawler_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_pairs,
+    ngram_jaccard_pairs,
     ngram_jaccard_pairs_blocked,
     simhash_pairs,
 )
@@ -58,12 +59,23 @@ def q_a1_source_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 per-domain crawl summary shape: conditional counts + sum + avg
     per group (audit_run.py:64-111 → groupBy(domain))."""
     d = _t(spark, sf_dir, "documents")
-    return d.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.count(F.when(F.col("n_chars") > 300, 1)).alias("n_long"),
-        F.count(F.when(F.col("lang") == "en", 1)).alias("n_en"),
-        F.sum("n_chars").alias("sum_chars"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    # avg to 4 decimals WITHOUT round(double): Spark's F.round goes
+    # through BigDecimal.valueOf (shortest-repr) while DuckDB rounds
+    # the raw double — they disagree near 4th-decimal ties. Integer
+    # half-up ((sum*20000 + n) div (2n)) then one exact bigint→double
+    # division is bit-identical in both engines.
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("n_chars") > 300, 1)).alias("n_long"),
+            F.count(F.when(F.col("lang") == "en", 1)).alias("n_en"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .withColumn(
+            "avg_chars",
+            F.expr("(sum_chars * 20000 + n_docs) div (2 * n_docs)") / F.lit(10000.0),
+        )
     )
 
 
@@ -73,7 +85,8 @@ SELECT source,
        count(CASE WHEN n_chars > 300 THEN 1 END) AS n_long,
        count(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
        sum(n_chars) AS sum_chars,
-       round(avg(n_chars), 4) AS avg_chars
+       CAST((sum(n_chars) * 20000 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0
+         AS avg_chars
 FROM documents GROUP BY source
 """
 
@@ -537,17 +550,35 @@ FROM documents GROUP BY 1
 """
 
 
+# above this corpus size the blocked-tile plan's m_a·m_b per-tile bins
+# outgrow task memory — switch to the AllPairs prefix join
+_NGRAM_BLOCKED_MAX_DOCS = 1_000_000
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-bigram Jaccard pairs ≥ 0.2 (the SQL-verifiable
     near-dup tier; assumes ≥2 tokens per doc — true for testdata).
 
-    Runs the blocked-tile plan (exact numpy intersection counting):
-    at ≤10^6-doc corpora it beats the AllPairs prefix join ~20×
-    because a shared-vocabulary corpus defeats prefix filtering; the
-    prefix join (ngram_jaccard_pairs) is the asymptotic path and is
-    equivalence-tested against this plan in tests/test_dedup.py."""
+    Picks the physical plan by corpus size: the blocked-tile plan
+    (exact numpy intersection counting) beats the AllPairs prefix join
+    ~20× at ≤10^6 docs because a shared-vocabulary corpus defeats
+    prefix filtering, but its per-tile cost is quadratic — past
+    _NGRAM_BLOCKED_MAX_DOCS the asymptotic AllPairs prefix join
+    (ngram_jaccard_pairs) takes over. Both plans are oracled (this
+    entry + dedup_ngram_jaccard_allpairs) and equivalence-tested in
+    tests/test_dedup.py."""
     d = _t(spark, sf_dir, "documents")
+    if d.count() > _NGRAM_BLOCKED_MAX_DOCS:
+        return ngram_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.2)
     return ngram_jaccard_pairs_blocked(d, "doc_id", "text", n=2, threshold=0.2)
+
+
+def q_dedup_ngram_jaccard_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100×-scale exact-Jaccard plan on its own oracle row: prefix-
+    filtered AllPairs set-similarity join (Bayardo et al. WWW'07) —
+    never quadratic, shuffles only candidate prefixes."""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=2, threshold=0.2)
 
 
 _NGRAM_PAIRS_CTES = r"""
@@ -901,10 +932,12 @@ def q_crawl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_crawl_blocked_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4/P10 block report: per-rule counts + deterministic URL sample."""
     b = _crawl_state(spark)["blocked"]
+    # sample serialized with concat_ws: the driver's canonicalizer
+    # sorts rows before hashing and cannot sort list cells
     return b.select(
         "block_type",
         "count",
-        F.slice(F.sort_array("urls"), 1, 5).alias("sample_urls"),
+        F.concat_ws("|", F.slice(F.sort_array("urls"), 1, 5)).alias("sample_urls"),
     )
 
 
@@ -960,7 +993,9 @@ def q_a3_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type")
         .agg(
             F.count("*").alias("count"),
-            F.slice(F.sort_array(F.collect_list("url")), 1, 3).alias("sample"),
+            F.concat_ws(
+                "|", F.slice(F.sort_array(F.collect_list("url")), 1, 3)
+            ).alias("sample"),
         )
     )
 
@@ -1011,8 +1046,13 @@ def q_crawl_routing_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7 routing graph (rows-only): parent → ordered discovered
     children from the fixture crawl."""
     r = _crawl_state(spark)["routing"]
-    return r.select("siteid", "parent", F.size("children").alias("n_children"),
-                    "children")
+    # children serialized (array cells break the driver's row sort)
+    return r.select(
+        "siteid",
+        "parent",
+        F.size("children").alias("n_children"),
+        F.concat_ws("|", "children").alias("children"),
+    )
 
 
 def q_x1_parse_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1055,6 +1095,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "robots_eval": q_robots_eval,
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_ngram_jaccard_allpairs": q_dedup_ngram_jaccard_allpairs,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_embedding": q_dedup_embedding,
@@ -1095,6 +1136,7 @@ ORACLES: dict[str, str] = {
     "fingerprints": ORACLE_FINGERPRINTS,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
+    "dedup_ngram_jaccard_allpairs": ORACLE_DEDUP_NGRAM,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "text_quality": ORACLE_TEXT_QUALITY,
