@@ -28,6 +28,7 @@ HEADLINE = [
     "j2_dim_join",
     "o6_topk_per_group",
     "so1_snapshot_compare",
+    "so5_rule_chain",
     "h1_content_hashes",
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -221,6 +221,63 @@ def script_injection_scan(
     ).withColumn("flagged", F.size("scripts_added") > 0)
 
 
+def detect_rules(
+    observed: DataFrame,
+    baselines: DataFrame,
+    site_col: str = "siteid",
+    key_col: str = "url_key",
+) -> DataFrame:
+    """detector.py:40-143 rule chain as ONE native column pipeline —
+    first matching rule wins, exactly the reference's return order:
+
+      script_src_change → HIGH    (external script added/removed)
+      none              → NONE    (hashes equal)
+      dom_change        → MEDIUM  (opening-tag sequence differs, X6)
+      semantic_reorder  → LOW     (token multisets equal, SO5)
+      content_change    → MEDIUM  (fallback)
+
+    The reference's semantic_normalize_html / dom_structure_fingerprint
+    are dead imports (never defined); the tag-sequence fingerprint and
+    the tag-stripped \\w+ token multiset reconstruct their documented
+    intent. Everything is Catalyst-native (regexp/array HOFs): zero
+    Python in this path.
+    """
+    from web_crawler_spark.functions.html import (
+        dom_fingerprint_col,
+        script_sources_col,
+        token_multiset_col,
+    )
+
+    b = baselines.select(site_col, key_col, "baseline_hash", "baseline_html")
+    j = observed.join(b, [site_col, key_col], "inner")
+    bh, oh = F.col("baseline_html"), F.col("html")
+    added = F.array_except(script_sources_col(oh), script_sources_col(bh))
+    removed = F.array_except(script_sources_col(bh), script_sources_col(oh))
+    changed = F.col("observed_hash") != F.col("baseline_hash")
+    rule = (
+        F.when(F.size(added) + F.size(removed) > 0, "script_src_change")
+        .when(~changed, "none")
+        .when(dom_fingerprint_col(bh) != dom_fingerprint_col(oh), "dom_change")
+        .when(token_multiset_col(bh) == token_multiset_col(oh), "semantic_reorder")
+        .otherwise("content_change")
+    )
+    sev = (
+        F.when(rule == "script_src_change", "HIGH")
+        .when(rule == "none", "NONE")
+        .when(rule == "semantic_reorder", "LOW")
+        .otherwise("MEDIUM")
+    )
+    return j.select(
+        site_col,
+        key_col,
+        changed.alias("html_changed"),
+        rule.alias("severity_rule"),
+        sev.alias("severity"),
+        added.alias("scripts_added"),
+        removed.alias("scripts_removed"),
+    )
+
+
 def observations_summary(observations: DataFrame) -> DataFrame:
     """A5/A7-style rollup: counts per severity + changed tally."""
     return observations.groupBy("severity").agg(

@@ -116,6 +116,11 @@ class CrawlConfig:
     #   "none"   — exact anti-join only
     seen_filter: str = "bloom"
     cuckoo_capacity_per_bucket: int = 1 << 16
+    # S5 crawl-page upsert table (operators/merge.py): real Iceberg
+    # MERGE INTO when iceberg_catalog is configured and its runtime is
+    # on the classpath, else the merge-equivalent parquet backend
+    upsert_pages: bool = False
+    iceberg_catalog: str | None = None
     # two-phase salted top-k dequeue for hot hosts (None = single window
     # per host; set ~16-64 when a host can hold >10^6 frontier rows)
     dequeue_salts: int | None = None
@@ -145,11 +150,17 @@ class CrawlEngine:
         robots_df: DataFrame | None = None,
         config: CrawlConfig | None = None,
         fetcher=None,
+        seed_probes: DataFrame | None = None,
     ):
         """``fetcher``: optional batch-fetch callback (operators/fetch.py
         contract). When set, fetching runs via mapInPandas per
         host_bucket partition (the production HTTP seam) instead of the
-        synthetic pages equi-join; result columns are identical."""
+        synthetic pages equi-join; result columns are identical.
+
+        ``seed_probes``: optional (url, status, final_url) probe table
+        for U4 seed resolution (main.py:44-74) — when set, each enabled
+        seed is resolved via operators/seeds.resolve_seed_urls before
+        normalization."""
         self.spark = spark
         self.cfg = config or CrawlConfig(state_dir="/tmp/wcs_state")
         # frontier rows carry their own `host`; keep the pages side bare
@@ -169,6 +180,28 @@ class CrawlEngine:
         )
         self.bloom: BroadcastBloom | ShardedBloom | None = None
         self._fetcher = fetcher
+        self._seed_probes = seed_probes
+
+    def _pages_table(self):
+        """Lazy S5 upsert table (operators/merge.py MergeTable)."""
+        if getattr(self, "_pages_tbl", None) is None:
+            from web_crawler_spark.operators.merge import MergeTable
+
+            self._pages_tbl = MergeTable(
+                self.spark,
+                "crawl_pages",
+                ["siteid", "url_key"],
+                path=os.path.join(self.cfg.state_dir, "crawl_pages"),
+                catalog=self.cfg.iceberg_catalog,
+            )
+        return self._pages_tbl
+
+    def pages_current(self) -> DataFrame | None:
+        """S5 upsert view: current row per (siteid, url_key) — None
+        unless the crawl ran with upsert_pages=True."""
+        if not self.cfg.upsert_pages:
+            return None
+        return self._pages_table().current()
 
     # ------------------------------------------------------------------
     # seen-bloom helpers (flat vs host_bucket-sharded)
@@ -279,11 +312,14 @@ class CrawlEngine:
     # resolve/normalize seed; driver-side, tiny dim)
     # ------------------------------------------------------------------
     def _seeds(self) -> list[tuple[int, str]]:
-        rows = (
-            self.sites.filter(F.col("enabled"))
-            .select("siteid", "url")
-            .collect()
-        )
+        enabled = self.sites.filter(F.col("enabled")).select("siteid", "url")
+        if self._seed_probes is not None:
+            from web_crawler_spark.operators.seeds import resolve_seed_urls
+
+            enabled = resolve_seed_urls(enabled, self._seed_probes).select(
+                "siteid", F.col("resolved_url").alias("url")
+            )
+        rows = enabled.collect()
         return [(int(r["siteid"]), normalize_fetch_url(r["url"])) for r in rows]
 
     def _seeds_dim(self, seeds: list[tuple[int, str]]) -> DataFrame:
@@ -393,7 +429,11 @@ class CrawlEngine:
                 # -- visit ordinals (global BFS rank) ------------------------
                 batch = with_global_rank(
                     batch,
-                    ["depth", "parent_ord", "link_idx"],
+                    # url_key breaks the all-null tie of the seed round
+                    # (parent_ord/link_idx are null for seeds) so seed
+                    # order is deterministic; later rounds are already
+                    # unique on (depth, parent_ord, link_idx)
+                    ["depth", "parent_ord", "link_idx", "url_key"],
                     out="visit_ord",
                     start=stats.total_visits + 1,
                     small_threshold=self.cfg.rank_small_threshold,
@@ -660,6 +700,13 @@ class CrawlEngine:
 
                 for f in sink_futs:
                     f.result()  # surface sink errors before committing meta
+
+                # S5 crawl-page upsert (mysql.py:135-142): one row per
+                # page keyed (siteid, url_key), last write wins — a real
+                # Iceberg MERGE INTO when a catalog is configured, else
+                # the merge-equivalent parquet generation swap
+                if self.cfg.upsert_pages:
+                    self._pages_table().merge(self._read_round("fetch_log", r))
 
                 stats.total_visits += batch_count
                 stats.rounds = r

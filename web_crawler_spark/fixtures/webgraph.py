@@ -220,6 +220,81 @@ def generate_robots(cfg: WebGraphConfig) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def generate_admitted_edges(cfg: WebGraphConfig) -> pd.DataFrame:
+    """Admitted (post-classification) outlink edges of the synthetic
+    web, in document order: (src, dst, ord) with ord = 1-based position
+    among the page's ADMITTED links.
+
+    Derived from the generator's structural knowledge — children
+    (2j+1, 2j+2), cross ((7j+3) % n), home, and the www variant — NOT
+    from parsing HTML, so a BFS oracle built on it is independent of
+    the engine's extraction pipeline (blocked links never enter the
+    frontier; their in-document positions only shift link_idx values,
+    which leaves relative order per parent — the only thing BFS
+    priority uses — unchanged).
+
+    Only valid for graphs without fetch-failure pages (every page must
+    parse): requires pages_per_host * skew <= 20 (see _page_row). The
+    SPA page (j == 3) contributes the same edges via rendered_html.
+    Mirror pages (www alias of host 0) share the original page's HTML,
+    so their ABSOLUTE child hrefs (c %% 3 == 1 form) point back at the
+    bare host while relative ones stay on www.
+    """
+    rows: list[dict] = []
+
+    def page_edges(fetch_host: str, build_host: str, j: int, n: int) -> None:
+        src = _page_url(fetch_host, j)
+        ord_ = 0
+
+        def emit(dst: str) -> None:
+            nonlocal ord_
+            ord_ += 1
+            rows.append({"src": src, "dst": dst, "ord": ord_})
+
+        for c in (2 * j + 1, 2 * j + 2):
+            if c >= n:
+                continue
+            if c % 5 == 0 and c != 0:
+                tgt = fetch_host  # "/pc/" → relative, trailing slash
+            elif c % 3 == 1:
+                tgt = build_host  # absolute URL baked with the build host
+            else:
+                tgt = fetch_host  # "/pc" absolute-path or "pc" relative
+            emit(_page_url(tgt, c))
+        emit(_page_url(fetch_host, (7 * j + 3) % n))  # cross link
+        emit(_page_url(fetch_host, 0))  # home link
+        if cfg.www_alias_host0 and build_host.startswith("host0.") and j == 1:
+            emit(_page_url(f"www.{build_host}", 2))
+
+    for h in range(cfg.hosts):
+        host = _host_name(cfg, h)
+        n = cfg.pages_per_host * (cfg.skew if h == 0 else 1)
+        if n > 20:
+            raise ValueError(
+                "admitted-edge generation requires a failure-free graph "
+                "(pages_per_host * skew <= 20)"
+            )
+        for j in range(n):
+            page_edges(host, host, j, n)
+        if h == 0 and cfg.www_alias_host0:
+            for j in range(n):
+                page_edges(f"www.{host}", host, j, n)
+    return pd.DataFrame(rows)
+
+
+def generate_seed_keys(cfg: WebGraphConfig) -> pd.DataFrame:
+    """(siteid, url_key) for the enabled seeds, normalized exactly as
+    the engine's seed preparation normalizes them."""
+    sites = generate_sites(cfg)
+    sites = sites[sites["enabled"]]
+    return pd.DataFrame(
+        {
+            "siteid": sites["siteid"].astype("int64"),
+            "url_key": sites["url"].map(normalize_fetch_url),
+        }
+    )
+
+
 def pages_as_oracle_dict(pages: pd.DataFrame) -> dict[str, SyntheticPage]:
     """Index the pages table for the pure-Python BFS oracle."""
     out: dict[str, SyntheticPage] = {}

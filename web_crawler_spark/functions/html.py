@@ -171,6 +171,35 @@ def token_multiset_equal_col(a_html: Column, b_html: Column) -> Column:
     return token_multiset_col(a_html) == token_multiset_col(b_html)
 
 
+def dom_fingerprint_col(html: Column) -> Column:
+    """X6 DOM-structure fingerprint: the document's opening-tag name
+    sequence, hashed. Reconstruction of the reference's
+    dom_structure_fingerprint (detection/detector.py:15 — imported but
+    never defined anywhere in the reference; the tag sequence is the
+    minimal structure-sensitive, text-insensitive signature the rule
+    chain needs). Native regexp_extract_all → no Python."""
+    tags = F.regexp_extract_all(
+        F.lower(F.coalesce(html, F.lit(""))), F.lit("<([a-z][a-z0-9]*)"), 1
+    )
+    return F.sha2(F.concat_ws(",", tags), 256)
+
+
+def script_sources_col(html: Column) -> Column:
+    """Sorted distinct external script srcs as a NATIVE column (the
+    regexp subset of script_sources_udf — the src-attribute form the
+    fixtures and detector.py:51-56 exercise). Rows needing full
+    attribute parsing use the UDF; this stays JVM-side."""
+    return F.array_sort(
+        F.array_distinct(
+            F.regexp_extract_all(
+                F.coalesce(html, F.lit("")),
+                F.lit('<script src="([^"]+)"'),
+                1,
+            )
+        )
+    )
+
+
 @F.pandas_udf(StringType())
 def diff_artifact_udf(baseline_html: pd.Series, observed_html: pd.Series) -> pd.Series:
     """Structured side-by-side diff artifact as JSON

@@ -175,6 +175,28 @@ def allowed_domain_col(seed_url: Column, candidate: Column) -> Column:
     return (cand == base) | (cand == F.concat(F.lit("www."), base))
 
 
+def safe_filename(url_key: str) -> str:
+    """U8 (baseline_utils.py:7-12): normalized URL → filesystem-safe
+    blob name. Input must already be normalized (the engine's url_key
+    IS the normalize_url output, so the reference's inner normalize
+    call is a no-op here)."""
+    return (
+        url_key.replace("://", "__")
+        .replace("/", "_")
+        .replace("?", "_")
+        .replace("&", "_")
+    )
+
+
+def safe_filename_col(url_key: Column) -> Column:
+    """Native U8 mangle — literal (non-regex) replaces, same order as
+    the reference chain."""
+    out = F.replace(url_key, F.lit("://"), F.lit("__"))
+    for ch in ("/", "?", "&"):
+        out = F.replace(out, F.lit(ch), F.lit("_"))
+    return out
+
+
 def is_same_site_col(candidate: Column, base_host_key: Column) -> Column:
     """Native parser-level filter (parser.py:97-118): http/https scheme +
     registrable host equality. ``base_host_key`` must already be a

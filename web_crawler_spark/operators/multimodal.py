@@ -109,19 +109,76 @@ class FakeCodec:
                 "ok": "ok"}
 
 
-class RealCodec:
-    """Production decode hook — NOT available in this container."""
+_SOF_MARKERS = frozenset(
+    (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+)
+
+
+class HeaderCodec:
+    """REAL image metadata decode — pure-stdlib header parsing for
+    PNG / JPEG / GIF payloads. Dimensions come from the actual byte
+    format (PNG IHDR, GIF logical screen descriptor, JPEG SOFn scan),
+    so this path works on genuine image files with no library at all.
+    Pixel decode / audio / video still need PIL/av — ``RealCodec``
+    below stays the import-gated hook for those."""
 
     @staticmethod
     def decode(payload: bytes) -> dict:
+        none = {"width": None, "height": None, "duration_ms": None,
+                "n_frames": None}
+        if payload is None or len(payload) < 10:
+            return {**none, "ok": "decode error: truncated payload"}
+        b = bytes(payload)
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            if len(b) < 24 or b[12:16] != b"IHDR":
+                return {**none, "ok": "decode error: bad PNG IHDR"}
+            w, h = struct.unpack(">II", b[16:24])
+            return {"width": w, "height": h, "duration_ms": None,
+                    "n_frames": 1, "ok": "ok"}
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", b[6:10])
+            # frame count = number of image descriptors (animated GIFs)
+            nf = max(1, b.count(b"\x2c\x00"))  # cheap lower-bound scan
+            return {"width": w, "height": h, "duration_ms": None,
+                    "n_frames": nf, "ok": "ok"}
+        if b[:2] == b"\xff\xd8":
+            i = 2
+            while i + 9 < len(b):
+                if b[i] != 0xFF:
+                    break
+                marker = b[i + 1]
+                if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+                if marker in _SOF_MARKERS:
+                    h = int.from_bytes(b[i + 5 : i + 7], "big")
+                    w = int.from_bytes(b[i + 7 : i + 9], "big")
+                    return {"width": w, "height": h, "duration_ms": None,
+                            "n_frames": 1, "ok": "ok"}
+                i += 2 + seg_len
+            return {**none, "ok": "decode error: no JPEG SOF segment"}
+        return {**none, "ok": "decode error: unsupported format"}
+
+
+class RealCodec:
+    """Full pixel/audio/video decode hook. Image HEADERS already decode
+    for real via HeaderCodec (pure stdlib); this class is where PIL/av
+    pixel access plugs in on clusters that ship those libraries."""
+
+    @staticmethod
+    def decode(payload: bytes) -> dict:
+        meta = HeaderCodec.decode(payload)
+        if meta["ok"] == "ok":
+            return meta  # header-derived metadata needs no library
         try:
             import PIL.Image  # noqa: F401
         except ImportError as exc:
             raise NotImplementedError(
-                "real image/audio decode requires PIL/av, absent here; "
-                "use FakeCodec for the synthetic path"
+                "pixel/audio/video decode requires PIL/av, absent here; "
+                "HeaderCodec covers PNG/JPEG/GIF metadata without them"
             ) from exc
-        raise NotImplementedError("wire PIL decode here in production")
+        raise NotImplementedError("wire PIL pixel decode here in production")
 
 
 # ---------------------------------------------------------------------------

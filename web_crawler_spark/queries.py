@@ -613,6 +613,117 @@ SELECT id_a, id_b, round(ni / (na + nb - ni), 4) AS jaccard FROM pairs
 )
 
 
+def q_so5_rule_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO5/X6: the detector.py:40-143 severity rule chain (script
+    change → HIGH, dom change → MEDIUM, token-multiset reorder → LOW,
+    content change → MEDIUM, no change → NONE) over five deterministic
+    document variants — fully Catalyst-native via detect_rules."""
+    from web_crawler_spark.engine.compare import detect_rules
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    v = F.pmod(F.col("doc_id"), F.lit(5))
+    pre, post = "<html><body><p>", "</p></body></html>"
+    base_html = F.concat(F.lit(pre), F.col("text"), F.lit(post))
+    rev = F.array_join(F.reverse(F.split(F.col("text"), " ")), " ")
+    obs_html = (
+        F.when(v == 1, F.concat(F.lit(pre), rev, F.lit(post)))
+        .when(
+            v == 2,
+            F.concat(
+                F.lit(pre),
+                F.col("text"),
+                F.lit(
+                    '</p><script src="https://x.test/inject.js">'
+                    "</script></body></html>"
+                ),
+            ),
+        )
+        .when(v == 3, F.concat(F.lit(pre), F.col("text"), F.lit(" zzznew" + post)))
+        .when(
+            v == 4,
+            F.concat(
+                F.lit("<html><body><div><p>"),
+                F.col("text"),
+                F.lit("</p></div></body></html>"),
+            ),
+        )
+        .otherwise(base_html)
+    )
+    pairs = d.select(
+        F.lit(1).alias("siteid"),
+        F.col("doc_id").alias("url_key"),
+        base_html.alias("baseline_html"),
+        obs_html.alias("html"),
+        F.sha2(base_html, 256).alias("baseline_hash"),
+        F.sha2(obs_html, 256).alias("observed_hash"),
+    )
+    out = detect_rules(
+        pairs.select("siteid", "url_key", "observed_hash", "html"),
+        pairs.select("siteid", "url_key", "baseline_hash", "baseline_html"),
+    )
+    return out.select(
+        F.col("url_key").alias("doc_id"),
+        "html_changed",
+        "severity_rule",
+        "severity",
+    )
+
+
+ORACLE_SO5_RULES = r"""
+WITH p AS (
+  SELECT doc_id,
+    '<html><body><p>' || text || '</p></body></html>' AS bh,
+    CASE CAST(doc_id % 5 AS INT)
+      WHEN 1 THEN '<html><body><p>'
+                  || array_to_string(list_reverse(string_split(text, ' ')), ' ')
+                  || '</p></body></html>'
+      WHEN 2 THEN '<html><body><p>' || text
+                  || '</p><script src="https://x.test/inject.js"></script></body></html>'
+      WHEN 3 THEN '<html><body><p>' || text || ' zzznew</p></body></html>'
+      WHEN 4 THEN '<html><body><div><p>' || text || '</p></div></body></html>'
+      ELSE '<html><body><p>' || text || '</p></body></html>'
+    END AS oh
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+    sha256(bh) != sha256(oh) AS changed,
+    list_sort(list_distinct(regexp_extract_all(oh, '<script src="([^"]+)"', 1))) AS so,
+    list_sort(list_distinct(regexp_extract_all(bh, '<script src="([^"]+)"', 1))) AS sb,
+    regexp_extract_all(lower(bh), '<([a-z][a-z0-9]*)', 1) AS dbm,
+    regexp_extract_all(lower(oh), '<([a-z][a-z0-9]*)', 1) AS dom,
+    list_sort(list_filter(
+      regexp_split_to_array(lower(regexp_replace(bh, '<[^>]+>', ' ', 'g')),
+                            '[^0-9a-z_]+'), x -> x != '')) AS tb,
+    list_sort(list_filter(
+      regexp_split_to_array(lower(regexp_replace(oh, '<[^>]+>', ' ', 'g')),
+                            '[^0-9a-z_]+'), x -> x != '')) AS tob
+  FROM p
+),
+lab AS (
+  SELECT doc_id, changed,
+    CASE
+      WHEN len(list_filter(so, x -> NOT list_contains(sb, x)))
+         + len(list_filter(sb, x -> NOT list_contains(so, x))) > 0
+        THEN 'script_src_change'
+      WHEN NOT changed THEN 'none'
+      WHEN dbm != dom THEN 'dom_change'
+      WHEN tb = tob THEN 'semantic_reorder'
+      ELSE 'content_change'
+    END AS severity_rule
+  FROM r
+)
+SELECT doc_id, changed AS html_changed, severity_rule,
+  CASE severity_rule
+    WHEN 'script_src_change' THEN 'HIGH'
+    WHEN 'none' THEN 'NONE'
+    WHEN 'semantic_reorder' THEN 'LOW'
+    ELSE 'MEDIUM'
+  END AS severity
+FROM lab
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (rows-only check: Arrow-UDF
     signatures aren't SQL-expressible)."""
@@ -903,11 +1014,90 @@ def _crawl_state(spark: SparkSession) -> dict[str, DataFrame]:
 
 
 def q_crawl_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: full fixture crawl → BFS visit order (rows-only; the
-    pytest suite proves ordering parity vs the reference oracle)."""
+    """Flagship: full fixture crawl → BFS visit order. DuckDB-oracled:
+    the oracle BFS runs over the generator's STRUCTURAL edge list
+    (fixtures.webgraph.generate_admitted_edges — independent of the
+    engine's parse/classify/normalize pipeline) as a recursive CTE:
+    BFS levels → shortest-path DAG → lexicographic-min priority path,
+    which is exactly the first-wins FIFO order of the reference
+    (frontier.py:30,46-51)."""
     return _crawl_state(spark)["visits"].select(
-        "siteid", "url_key", "visit_ord", "depth", "parent_key"
+        F.col("siteid").cast("long").alias("siteid"),
+        "url_key",
+        F.col("visit_ord").cast("long").alias("visit_ord"),
+        F.col("depth").cast("long").alias("depth"),
+        "parent_key",
     )
+
+
+_VISITS_ORACLE_DIR = os.path.join(tempfile.gettempdir(), "wcs_visits_oracle")
+
+
+def _visits_oracle_sql() -> str:
+    """Write the structural edge/seed parquet for the fixture web and
+    return the recursive-CTE BFS oracle over it.
+
+    Priority-path equivalence: the engine ranks each round by
+    (depth, parent_ord, link_idx, url_key-tiebreak-for-seeds); by
+    induction parent_ord order ≡ parent priority-path order, so the
+    global visit order is rank over (depth, path) with
+    path = parent_path || link_ord — lists compare lexicographically
+    and all compared paths at a given depth have equal length."""
+    from web_crawler_spark.fixtures.webgraph import (
+        WebGraphConfig,
+        generate_admitted_edges,
+        generate_seed_keys,
+    )
+
+    os.makedirs(_VISITS_ORACLE_DIR, exist_ok=True)
+    e = os.path.join(_VISITS_ORACLE_DIR, "edges.parquet")
+    s = os.path.join(_VISITS_ORACLE_DIR, "seeds.parquet")
+    cfg = WebGraphConfig(hosts=2, pages_per_host=12, seed=42)  # = _crawl_state
+    generate_admitted_edges(cfg).to_parquet(e, index=False)
+    generate_seed_keys(cfg).to_parquet(s, index=False)
+    return f"""
+WITH RECURSIVE
+edges AS (SELECT src, dst, "ord" AS lord FROM read_parquet('{e}')),
+seeds AS (
+  SELECT siteid, url_key,
+         CAST(row_number() OVER (ORDER BY url_key) AS BIGINT) AS srank
+  FROM read_parquet('{s}')
+),
+lvl AS (
+  SELECT siteid, url_key AS url, 0 AS depth FROM seeds
+  UNION
+  SELECT l.siteid, e.dst, l.depth + 1
+  FROM lvl l JOIN edges e ON e.src = l.url
+  WHERE l.depth + 1 < 64
+),
+dist AS (SELECT siteid, url, min(depth) AS depth FROM lvl GROUP BY 1, 2),
+paths AS (
+  SELECT s.siteid, s.url_key AS url, 0 AS depth,
+         CAST(NULL AS VARCHAR) AS parent, [s.srank] AS path
+  FROM seeds s
+  UNION
+  SELECT p.siteid, e.dst, p.depth + 1, p.url,
+         list_append(p.path, CAST(e.lord AS BIGINT))
+  FROM paths p
+  JOIN dist dp ON dp.siteid = p.siteid AND dp.url = p.url
+              AND dp.depth = p.depth
+  JOIN edges e ON e.src = p.url
+  JOIN dist dc ON dc.siteid = p.siteid AND dc.url = e.dst
+              AND dc.depth = p.depth + 1
+),
+best AS (
+  SELECT siteid, url, depth, parent, path,
+         row_number() OVER (PARTITION BY siteid, url ORDER BY path) AS rk
+  FROM paths
+)
+SELECT CAST(siteid AS BIGINT) AS siteid,
+       url AS url_key,
+       CAST(row_number() OVER (ORDER BY depth, path) AS BIGINT) AS visit_ord,
+       CAST(depth AS BIGINT) AS depth,
+       parent AS parent_key
+FROM best
+WHERE rk = 1
+"""
 
 
 def q_crawl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1088,6 +1278,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o6_topk_per_group": q_o6_topk_per_group,
     "j2_dim_join": q_j2_dim_join,
     "so1_snapshot_compare": q_so1_snapshot_compare,
+    "so5_rule_chain": q_so5_rule_chain,
     "h1_content_hashes": q_h1_content_hashes,
     "a9_severity_bands": q_a9_severity_bands,
     "p_admission_pipeline": q_p_admission_pipeline,
@@ -1137,6 +1328,8 @@ ORACLES: dict[str, str] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
     "dedup_ngram_jaccard_allpairs": ORACLE_DEDUP_NGRAM,
+    "crawl_visits": _visits_oracle_sql(),
+    "so5_rule_chain": ORACLE_SO5_RULES,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "text_quality": ORACLE_TEXT_QUALITY,
