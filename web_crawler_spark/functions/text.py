@@ -175,14 +175,25 @@ def make_minhash_udf(num_perm: int = 64, shingle_k: int = 5, seed: int = 7):
 
     @F.pandas_udf(ArrayType(LongType()))
     def minhash_sig(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text:
-            h = _shingle_hashes(t if isinstance(t, str) else "", shingle_k)
-            # (a·h + b) mod p, min over shingles, per permutation —
-            # all uint64 numpy, no Python big-int math
-            vals = (a[:, None] * h[None, :] + b[:, None]) % _P31
-            out.append(vals.min(axis=1).astype(np.int64).tolist())
-        return pd.Series(out)
+        # (a·h + b) mod p, min over shingles, per permutation — the
+        # permutation pass runs over the WHOLE Arrow batch's
+        # concatenated shingle vector with one segmented min
+        # (minimum.reduceat) per permutation: O(docs) python, identical
+        # values to the per-doc formulation
+        hs = [
+            _shingle_hashes(t if isinstance(t, str) else "", shingle_k)
+            for t in text
+        ]
+        if not hs:
+            return pd.Series([], dtype=object)
+        lens = np.array([len(h) for h in hs], dtype=np.int64)
+        flat = np.concatenate(hs)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        out = np.empty((len(hs), num_perm), dtype=np.int64)
+        for p in range(num_perm):
+            vals = (a[p] * flat + b[p]) % _P31
+            out[:, p] = np.minimum.reduceat(vals, starts).astype(np.int64)
+        return pd.Series(out.tolist())
 
     return minhash_sig
 
@@ -192,20 +203,67 @@ def make_minhash_udf(num_perm: int = 64, shingle_k: int = 5, seed: int = 7):
 # ---------------------------------------------------------------------------
 
 
+_SIMHASH_BASE = np.uint64(1099511628211)  # FNV-ish odd multiplier
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (avalanches the weak polynomial
+    token hash into uniformly distributed 64-bit values)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x = (x * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    x ^= x >> np.uint64(27)
+    x = (x * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    return x ^ (x >> np.uint64(31))
+
+
 @F.pandas_udf(LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
-    def sh(t: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in (t or "").lower().split():
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-            )
-            bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-            acc += bits * 2 - 1
-        v = 0
-        for i in range(64):
-            if acc[i] > 0:
-                v |= 1 << i
-        return v - (1 << 64) if v >= (1 << 63) else v  # to signed int64
-
-    return text.map(lambda t: sh(t if isinstance(t, str) else ""))
+    """64-bit simhash over whitespace tokens — one numpy pass for the
+    WHOLE Arrow batch: all docs' tokens are concatenated, per-token
+    polynomial hashes computed with a single reduceat (uint64
+    wraparound arithmetic, splitmix64-finalized), then the ±1 bit sums
+    fold back per doc with a second reduceat. No per-token Python."""
+    texts = [(t if isinstance(t, str) else "").lower() for t in text]
+    toks_per_doc = [t.split() for t in texts]
+    n_toks = np.array([len(ts) for ts in toks_per_doc], dtype=np.int64)
+    flat = [tok for ts in toks_per_doc for tok in ts]
+    out = np.zeros(len(texts), dtype=np.int64)
+    if flat:
+        joined = "".join(flat).encode("utf-8", "ignore")
+        lens = np.array([len(tok.encode("utf-8", "ignore")) for tok in flat],
+                        dtype=np.int64)
+        b = np.frombuffer(joined, dtype=np.uint8).astype(np.uint64)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = np.arange(len(b), dtype=np.int64) - np.repeat(starts, lens)
+        exp = np.repeat(lens, lens) - 1 - pos
+        max_len = int(lens.max()) if len(lens) else 1
+        with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+            powers = np.empty(max_len, dtype=np.uint64)
+            powers[0] = 1
+            for i in range(1, max_len):
+                powers[i] = powers[i - 1] * _SIMHASH_BASE
+            keep = lens > 0
+            tok_hash = np.zeros(len(flat), dtype=np.uint64)
+            if keep.any():
+                contrib = b * powers[exp]
+                tok_hash[keep] = np.add.reduceat(contrib, starts[keep])
+        tok_hash = _splitmix64(tok_hash)
+        # per-doc ±1 bit sums without a (n_tokens, 64) matrix: one
+        # bincount per bit position (weights = that bit across all
+        # tokens), O(docs) memory; bit b of the signature is set iff
+        # 1-bits outnumber 0-bits (2·ones > n_tokens)
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), n_toks)
+        sig = np.zeros(len(texts), dtype=np.uint64)
+        for bbit in range(64):
+            ones = np.bincount(
+                doc_idx,
+                weights=((tok_hash >> np.uint64(bbit)) & np.uint64(1)).astype(
+                    np.float64
+                ),
+                minlength=len(texts),
+            ).astype(np.int64)
+            sig |= ((2 * ones > n_toks).astype(np.uint64)) << np.uint64(bbit)
+        out = sig.astype(np.int64)  # two's-complement view
+        out[n_toks == 0] = 0
+    return pd.Series(out)
