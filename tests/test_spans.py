@@ -114,3 +114,33 @@ def test_spark_udf_equals_kernel(spark):
         assert got == expected
         exp_links = outlinks(expected, r["base"])
         assert [s["media_ref"] for s in r["links"]] == exp_links
+
+
+def test_expected_doc_stats_match_parser():
+    """The crawl_documents oracle's template-derived span-count
+    formulas (fixtures.webgraph.generate_expected_doc_stats) must agree
+    with the real parser on every fixture page, including the SPA
+    page's rendered_html path and the www-alias mirror."""
+    from collections import Counter
+
+    from web_crawler_spark.fixtures.webgraph import (
+        WebGraphConfig,
+        generate_expected_doc_stats,
+        generate_pages,
+    )
+
+    for cfg in (
+        WebGraphConfig(hosts=2, pages_per_host=12, seed=42),
+        WebGraphConfig(hosts=3, pages_per_host=18, seed=7),
+    ):
+        pages = generate_pages(cfg)
+        exp = generate_expected_doc_stats(cfg).set_index("url_key")
+        assert len(exp) == len(pages)
+        for r in pages.itertuples(index=False):
+            html = r.rendered_html if r.rendered_html else r.html
+            spans = extract_spans(html, r.url)
+            kinds = Counter(s["kind"] for s in spans)
+            e = exp.loc[r.url]
+            assert (len(spans), kinds["text"], kinds["link"], kinds["media"]) == (
+                e.n_spans, e.n_text_spans, e.n_link_spans, e.n_media_spans,
+            ), r.url

@@ -282,6 +282,77 @@ def generate_admitted_edges(cfg: WebGraphConfig) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def generate_expected_doc_stats(cfg: WebGraphConfig) -> pd.DataFrame:
+    """Structural per-page span-count expectations, derived from the
+    ``_build_html`` TEMPLATE (not by running the engine's parser):
+
+    With nc = |{2j+1, 2j+2} ∩ [0, n)| children and www = 1 iff the page
+    is the j==1 page of the host-0 family (it carries the extra
+    www-variant link):
+
+    - text  spans: title + h1 + intro + 3 per child + cross-trailer +
+      dup-home-trailer + anchor-only text (fragment hrefs carry no
+      link target, their label is plain text) + closing paragraph
+      = 7 + 3*nc
+    - link  spans: nc children + cross + home + the 12 blocked/filtered
+      anchors that still have a non-fragment target + www
+      = 14 + nc + www
+    - media spans: favicon + one img per child = 1 + nc
+    - style/script: 1 each (head stylesheet, head script)
+
+    The SPA page (j == 3) is parsed from rendered_html — the same built
+    template — so the formulas hold for it too. Only valid for
+    failure-free graphs (pages_per_host * skew <= 20), like
+    ``generate_admitted_edges``.
+
+    ``doc_id`` uses the pure-Python canonical-id parity oracle keyed
+    against the site seed (www-alias pages share the bare host's
+    doc_id, matching the engine's canonical_id(url_key, seed_url)), so
+    a DuckDB documents oracle can join these rows to the BFS visited
+    set and aggregate per doc_id without touching the engine.
+    """
+    from web_crawler_spark.oracle.semantics import canonical_id
+
+    rows: list[dict] = []
+
+    def page_stats(fetch_host: str, build_host: str, siteid: int, j: int,
+                   n: int) -> None:
+        nc = sum(1 for c in (2 * j + 1, 2 * j + 2) if c < n)
+        www = int(
+            cfg.www_alias_host0 and build_host.startswith("host0.") and j == 1
+        )
+        n_text = 7 + 3 * nc
+        n_link = 14 + nc + www
+        n_media = 1 + nc
+        seed = f"https://{_host_name(cfg, siteid - 1)}"
+        rows.append(
+            {
+                "url_key": _page_url(fetch_host, j),
+                "doc_id": canonical_id(_page_url(fetch_host, j), seed),
+                "siteid": siteid,
+                "n_spans": n_text + n_link + n_media + 2,
+                "n_text_spans": n_text,
+                "n_link_spans": n_link,
+                "n_media_spans": n_media,
+            }
+        )
+
+    for h in range(cfg.hosts):
+        host = _host_name(cfg, h)
+        n = cfg.pages_per_host * (cfg.skew if h == 0 else 1)
+        if n > 20:
+            raise ValueError(
+                "doc-stat generation requires a failure-free graph "
+                "(pages_per_host * skew <= 20)"
+            )
+        for j in range(n):
+            page_stats(host, host, h + 1, j, n)
+        if h == 0 and cfg.www_alias_host0:
+            for j in range(n):
+                page_stats(f"www.{host}", host, 1, j, n)
+    return pd.DataFrame(rows)
+
+
 def generate_seed_keys(cfg: WebGraphConfig) -> pd.DataFrame:
     """(siteid, url_key) for the enabled seeds, normalized exactly as
     the engine's seed preparation normalizes them."""

@@ -1033,9 +1033,11 @@ def q_crawl_visits(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VISITS_ORACLE_DIR = os.path.join(tempfile.gettempdir(), "wcs_visits_oracle")
 
 
-def _visits_oracle_sql() -> str:
-    """Write the structural edge/seed parquet for the fixture web and
-    return the recursive-CTE BFS oracle over it.
+def _bfs_cte_sql() -> str:
+    """Write the structural edge/seed/doc-stat parquet for the fixture
+    web and return the shared recursive-CTE BFS prefix (``WITH ... best``)
+    the crawl_visits / crawl_routing_graph / crawl_documents oracles all
+    build on.
 
     Priority-path equivalence: the engine ranks each round by
     (depth, parent_ord, link_idx, url_key-tiebreak-for-seeds); by
@@ -1046,18 +1048,22 @@ def _visits_oracle_sql() -> str:
     from web_crawler_spark.fixtures.webgraph import (
         WebGraphConfig,
         generate_admitted_edges,
+        generate_expected_doc_stats,
         generate_seed_keys,
     )
 
     os.makedirs(_VISITS_ORACLE_DIR, exist_ok=True)
     e = os.path.join(_VISITS_ORACLE_DIR, "edges.parquet")
     s = os.path.join(_VISITS_ORACLE_DIR, "seeds.parquet")
+    d = os.path.join(_VISITS_ORACLE_DIR, "doc_stats.parquet")
     cfg = WebGraphConfig(hosts=2, pages_per_host=12, seed=42)  # = _crawl_state
     generate_admitted_edges(cfg).to_parquet(e, index=False)
     generate_seed_keys(cfg).to_parquet(s, index=False)
+    generate_expected_doc_stats(cfg).to_parquet(d, index=False)
     return f"""
 WITH RECURSIVE
 edges AS (SELECT src, dst, "ord" AS lord FROM read_parquet('{e}')),
+doc_stats AS (SELECT * FROM read_parquet('{d}')),
 seeds AS (
   SELECT siteid, url_key,
          CAST(row_number() OVER (ORDER BY url_key) AS BIGINT) AS srank
@@ -1090,6 +1096,11 @@ best AS (
          row_number() OVER (PARTITION BY siteid, url ORDER BY path) AS rk
   FROM paths
 )
+"""
+
+
+def _visits_oracle_sql() -> str:
+    return _bfs_cte_sql() + """
 SELECT CAST(siteid AS BIGINT) AS siteid,
        url AS url_key,
        CAST(row_number() OVER (ORDER BY depth, path) AS BIGINT) AS visit_ord,
@@ -1100,22 +1111,62 @@ WHERE rk = 1
 """
 
 
+def _routing_oracle_sql() -> str:
+    """F7 oracle: the engine's frontier edges carry each url's FIRST
+    discovery parent, which the BFS CTE proves equals the
+    lexicographic-min priority-path parent — so the adjacency view is
+    the BFS tree grouped by parent with lexicographically sorted
+    children (sort_array ≡ ORDER BY on ASCII URLs)."""
+    return _bfs_cte_sql() + """
+SELECT CAST(siteid AS BIGINT) AS siteid,
+       parent,
+       CAST(count(*) AS BIGINT) AS n_children,
+       string_agg(url, '|' ORDER BY url) AS children
+FROM best
+WHERE rk = 1 AND parent IS NOT NULL
+GROUP BY siteid, parent
+"""
+
+
+def _documents_oracle_sql() -> str:
+    """S8/X1 documents oracle: BFS visited set joined to the
+    generator's TEMPLATE-derived span-count expectations
+    (fixtures.webgraph.generate_expected_doc_stats — counting the
+    template's blocks, not running the parser), aggregated per
+    canonical doc_id exactly like the engine's last-write-wins
+    documents view (www-alias pages share a doc_id; their span counts
+    are equal by construction, so max ≡ last-write)."""
+    return _bfs_cte_sql() + """
+SELECT d.doc_id,
+       CAST(max(d.siteid) AS BIGINT) AS siteid,
+       CAST(max(d.n_spans) AS BIGINT) AS n_spans,
+       CAST(max(d.n_text_spans) AS BIGINT) AS n_text_spans,
+       CAST(max(d.n_link_spans) AS BIGINT) AS n_link_spans,
+       CAST(max(d.n_media_spans) AS BIGINT) AS n_media_spans
+FROM best b JOIN doc_stats d ON d.url_key = b.url
+WHERE b.rk = 1
+GROUP BY d.doc_id
+"""
+
+
 def q_crawl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crawled span documents (input_hint schema): per-doc span stats."""
+    """Crawled span documents (input_hint schema): per-doc span stats.
+    DuckDB-oracled: BFS visited set × the generator's template-derived
+    span-count expectations (see _documents_oracle_sql)."""
     docs = _crawl_state(spark)["documents"]
     return docs.select(
         "doc_id",
-        "siteid",
-        F.size("spans").alias("n_spans"),
-        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("text"))).alias(
-            "n_text_spans"
-        ),
-        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("link"))).alias(
-            "n_link_spans"
-        ),
-        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("media"))).alias(
-            "n_media_spans"
-        ),
+        F.col("siteid").cast("long").alias("siteid"),
+        F.size("spans").cast("long").alias("n_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("text")))
+        .cast("long")
+        .alias("n_text_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("link")))
+        .cast("long")
+        .alias("n_link_spans"),
+        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("media")))
+        .cast("long")
+        .alias("n_media_spans"),
     )
 
 
@@ -1158,10 +1209,69 @@ def q_compare_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return observations_summary(compare_observations(o, base)).orderBy("severity")
 
 
+_A3_EXTRA_URLS = (
+    "https://h.test/page/2/",
+    "https://h.test/assets/x.png",
+    "https://h.test/theme.css",
+    "https://h.test/api/v1/items",
+)
+
+
+def _a3_oracle_sql() -> str:
+    """A3 oracle: the fixture URL corpus is written to parquet and the
+    multi-label classify rules (oracle/semantics.py:186-214) are
+    re-expressed as one UNION ALL branch per label — membership is the
+    parity contract, the sample is the first 3 lexicographic URLs."""
+    from web_crawler_spark.fixtures.webgraph import WebGraphConfig, generate_pages
+    import pandas as pd
+
+    os.makedirs(_VISITS_ORACLE_DIR, exist_ok=True)
+    p = os.path.join(_VISITS_ORACLE_DIR, "a3_urls.parquet")
+    pages = generate_pages(WebGraphConfig(hosts=2, pages_per_host=12))
+    pd.DataFrame({"url": list(pages["url"]) + list(_A3_EXTRA_URLS)}).to_parquet(
+        p, index=False
+    )
+    return rf"""
+WITH corpus AS (SELECT url FROM read_parquet('{p}')),
+parsed AS (
+  SELECT url, lower(url) AS low,
+         lower(regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1)) AS path
+  FROM corpus
+),
+labeled AS (
+  SELECT 'pagination' AS type, url FROM parsed
+   WHERE regexp_matches(low, '(/page/|/p/|\?page=|\?p=|/pagination/)')
+  UNION ALL
+  SELECT 'assets_uploads', url FROM parsed
+   WHERE regexp_matches(low, '(/uploads/|/assets/|/media/|/files/)')
+      OR regexp_matches(path, '\.(pdf|jpg|jpeg|png|gif|svg)$')
+  UNION ALL
+  SELECT 'scripts_styles', url FROM parsed
+   WHERE regexp_matches(path, '\.(css|js)$')
+  UNION ALL
+  SELECT 'api_like', url FROM parsed
+   WHERE regexp_matches(low, '(wp-json|/api/)')
+  UNION ALL
+  SELECT 'normal_html', url FROM parsed
+   WHERE NOT (regexp_matches(low, '(/page/|/p/|\?page=|\?p=|/pagination/)')
+           OR regexp_matches(low, '(/uploads/|/assets/|/media/|/files/)')
+           OR regexp_matches(path, '\.(pdf|jpg|jpeg|png|gif|svg)$')
+           OR regexp_matches(path, '\.(css|js)$')
+           OR regexp_matches(low, '(wp-json|/api/)'))
+)
+SELECT type,
+       CAST(count(*) AS BIGINT) AS count,
+       array_to_string(list_slice(list(url ORDER BY url), 1, 3), '|') AS sample
+FROM labeled
+GROUP BY type
+"""
+
+
 def q_a3_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3 classification distribution (analysis_generator.py:30-48,
-    rows-only): classify fixture URLs via the multi-label UDF, explode,
-    count per type with a deterministic ordered sample."""
+    """A3 classification distribution (analysis_generator.py:30-48):
+    classify fixture URLs via the multi-label UDF, explode, count per
+    type with a deterministic ordered sample. DuckDB-oracled (see
+    _a3_oracle_sql)."""
     from web_crawler_spark.fixtures.webgraph import WebGraphConfig, generate_pages
     from web_crawler_spark.functions.urls import classify_url_udf
 
@@ -1169,13 +1279,7 @@ def q_a3_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         generate_pages(WebGraphConfig(hosts=2, pages_per_host=12))
     )
     extra = spark.createDataFrame(
-        [
-            ("https://h.test/page/2/",),
-            ("https://h.test/assets/x.png",),
-            ("https://h.test/theme.css",),
-            ("https://h.test/api/v1/items",),
-        ],
-        "url string",
+        [(u,) for u in _A3_EXTRA_URLS], "url string"
     )
     urls = pages.select("url").unionByName(extra)
     return (
@@ -1233,14 +1337,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_crawl_routing_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F7 routing graph (rows-only): parent → ordered discovered
-    children from the fixture crawl."""
+    """F7 routing graph: parent → ordered discovered children from the
+    fixture crawl. DuckDB-oracled via the BFS-tree adjacency (see
+    _routing_oracle_sql)."""
     r = _crawl_state(spark)["routing"]
     # children serialized (array cells break the driver's row sort)
     return r.select(
-        "siteid",
+        F.col("siteid").cast("long").alias("siteid"),
         "parent",
-        F.size("children").alias("n_children"),
+        F.size("children").cast("long").alias("n_children"),
         F.concat_ws("|", "children").alias("children"),
     )
 
@@ -1329,15 +1434,19 @@ ORACLES: dict[str, str] = {
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
     "dedup_ngram_jaccard_allpairs": ORACLE_DEDUP_NGRAM,
     "crawl_visits": _visits_oracle_sql(),
+    "crawl_routing_graph": _routing_oracle_sql(),
+    "crawl_documents": _documents_oracle_sql(),
+    "a3_classification": _a3_oracle_sql(),
     "so5_rule_chain": ORACLE_SO5_RULES,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "text_quality": ORACLE_TEXT_QUALITY,
     "ann_brute_force_topk": ORACLE_ANN,
     # no oracle (rows-only, by design): dedup_minhash_lsh, dedup_simhash,
-    # ann_lsh_topk (approximate by design), crawl_* (iterative multi-round
-    # engine over fixture webs DuckDB can't see), x1_parse_spans (HTML
-    # parse), multimodal_*, compare_observations, a3_classification
-    # (fixture-driven); pytest gates their semantics against pure-Python
-    # oracles instead
+    # dedup_embedding_lsh, ann_lsh_topk, ann_ivf_topk (approximate /
+    # signature UDFs not SQL-expressible), crawl_blocked_report (block
+    # routing of non-admitted links is parser-positional),
+    # x1_parse_spans (HTML parse), multimodal_*, compare_observations
+    # (engine COMPARE pipeline); pytest gates their semantics against
+    # pure-Python oracles instead
 }
