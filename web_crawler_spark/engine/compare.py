@@ -242,14 +242,27 @@ def detect_rules(
     intent. Everything is Catalyst-native (regexp/array HOFs): zero
     Python in this path.
     """
+    b = baselines.select(site_col, key_col, "baseline_hash", "baseline_html")
+    j = observed.join(b, [site_col, key_col], "inner")
+    return detect_rules_paired(j, site_col=site_col, key_col=key_col)
+
+
+def detect_rules_paired(
+    pairs: DataFrame,
+    site_col: str = "siteid",
+    key_col: str = "url_key",
+) -> DataFrame:
+    """detect_rules over an already-paired frame (baseline_html /
+    baseline_hash alongside html / observed_hash in the same row) —
+    no join, no shuffle of HTML bodies. Use when baseline and observed
+    come pre-aligned (snapshot diffing of a single keyed table); the
+    two-frame detect_rules wraps this after its equi-join."""
     from web_crawler_spark.functions.html import (
         dom_fingerprint_col,
         script_sources_col,
         token_multiset_col,
     )
 
-    b = baselines.select(site_col, key_col, "baseline_hash", "baseline_html")
-    j = observed.join(b, [site_col, key_col], "inner")
     bh, oh = F.col("baseline_html"), F.col("html")
     added = F.array_except(script_sources_col(oh), script_sources_col(bh))
     removed = F.array_except(script_sources_col(bh), script_sources_col(oh))
@@ -267,7 +280,7 @@ def detect_rules(
         .when(rule == "semantic_reorder", "LOW")
         .otherwise("MEDIUM")
     )
-    return j.select(
+    return pairs.select(
         site_col,
         key_col,
         changed.alias("html_changed"),

@@ -50,6 +50,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _twide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table scan round-robined to the session's full parallelism.
+
+    Bench-scale tables are one parquet split, so a per-row-heavy plan
+    (signature/band UDFs, regexp chains) downstream would run on a
+    single core. At real scale the scan already has ≥ cores splits and
+    this shuffle moves only the narrow scanned columns once — noise
+    next to the UDF stage it feeds."""
+    return _t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # ---------------------------------------------------------------------------
 # relational / analytic shapes (SURVEY.md §2.H/I/J/K) over testdata
 # ---------------------------------------------------------------------------
@@ -617,10 +630,20 @@ def q_so5_rule_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SO5/X6: the detector.py:40-143 severity rule chain (script
     change → HIGH, dom change → MEDIUM, token-multiset reorder → LOW,
     content change → MEDIUM, no change → NONE) over five deterministic
-    document variants — fully Catalyst-native via detect_rules."""
-    from web_crawler_spark.engine.compare import detect_rules
+    document variants — fully Catalyst-native via detect_rules_paired
+    (baseline and observed are derived from the same row: no join, no
+    shuffle of HTML bodies)."""
+    from web_crawler_spark.engine.compare import detect_rules_paired
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # the narrow (doc_id, text) scan is one parquet split at bench
+    # scale; round-robin it so the regexp-heavy detect chain runs on
+    # every core (at real scale the scan has many splits already and
+    # Catalyst elides nothing here — the shuffle moves only raw text)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     v = F.pmod(F.col("doc_id"), F.lit(5))
     pre, post = "<html><body><p>", "</p></body></html>"
     base_html = F.concat(F.lit(pre), F.col("text"), F.lit(post))
@@ -657,10 +680,7 @@ def q_so5_rule_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(base_html, 256).alias("baseline_hash"),
         F.sha2(obs_html, 256).alias("observed_hash"),
     )
-    out = detect_rules(
-        pairs.select("siteid", "url_key", "observed_hash", "html"),
-        pairs.select("siteid", "url_key", "baseline_hash", "baseline_html"),
-    )
+    out = detect_rules_paired(pairs)
     return out.select(
         F.col("url_key").alias("doc_id"),
         "html_changed",
@@ -727,7 +747,7 @@ FROM lab
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (rows-only check: Arrow-UDF
     signatures aren't SQL-expressible)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _twide(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         d, "doc_id", "text", num_perm=64, bands=16, shingle_k=5, threshold=0.5
     )
@@ -735,7 +755,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (rows-only check)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _twide(spark, sf_dir, "documents")
     return simhash_pairs(d, "doc_id", "text", max_hamming=3)
 
 
@@ -796,7 +816,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_cosine_pairs_lsh,
     )
 
-    e = _t(spark, sf_dir, "embeddings")
+    e = _twide(spark, sf_dir, "embeddings")
     return embedding_cosine_pairs_lsh(
         e, dim=64, threshold=0.4, num_bits=16, sim_round=4
     )
