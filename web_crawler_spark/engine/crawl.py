@@ -43,6 +43,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -406,8 +407,79 @@ class CrawlEngine:
         # disjoint directories; the frontier/seen commit stays ordered
         sink_pool = ThreadPoolExecutor(max_workers=4)
 
+        # loop-invariant Column expressions, built ONCE: every F.* call
+        # is a py4j round trip, and profiling shows plan construction is
+        # ~half of each round's wall time at fixture scale — unresolved
+        # Columns are reusable across rounds (they bind by name at
+        # analysis), so hoist everything that doesn't reference the
+        # round number
+        found = F.col("status_code").isNotNull()
+        retry_ok = (
+            F.coalesce(F.col("first_attempts_429"), F.lit(0)) <= MAX_RETRIES_429
+        )
+        ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))
+        is_2xx = F.col("status_code").between(200, 299)
+        ct_ok = ct.contains("text/html") | ct.contains("application/json")
+        success = found & retry_ok & is_2xx & ct_ok
+        error = (
+            F.when(~found, F.lit("connection error"))
+            .when(~retry_ok, F.lit("http error: 429"))
+            .when(~is_2xx, F.concat(F.lit("http error: "), F.col("status_code")))
+            .when(~ct_ok, F.concat(F.lit("ignored content type: "), ct))
+        )
+        fetch_log_cols = [
+            F.col("siteid"), F.col("url_key"), F.col("depth"),
+            F.coalesce(
+                F.when(~retry_ok, F.lit(429)), F.col("status_code"), F.lit(0)
+            ).alias("status_code"),
+            ct.alias("content_type"),
+            F.col("_success").alias("success"),
+            F.col("_error").alias("error"),
+            F.col("response_time_ms"),
+            F.col("content_length"),
+            F.col("visit_ord"),
+            F.col("parent_key"),
+        ]
+        base_key = registrable_host_col(F.col("url_key"))
+        spans1_col = extract_spans_udf(F.col("html"), F.col("url_key"))
+        use_rendered_col = (
+            (F.size(outlink_spans_col(F.col("spans1"), base_key)) == 0)
+            & needs_js_col(F.col("html"))
+            & F.col("rendered_html").isNotNull()
+        )
+        spans_col = F.when(
+            F.col("_use_rendered"),
+            extract_spans_udf(
+                F.when(F.col("_use_rendered"), F.col("rendered_html")),
+                F.col("url_key"),
+            ),
+        ).otherwise(F.col("spans1"))
+        outlinks_col = outlink_spans_col(F.col("spans"), base_key)
+        doc_cols = [
+            canonical_id_udf(F.col("url_key"), F.col("seed_url")).alias("doc_id"),
+            F.col("siteid"), F.col("spans"), F.col("visit_ord"),
+        ]
+        cand_cols = [
+            F.col("siteid"), F.col("seed_url"), F.col("seed_host_key"),
+            F.col("url_key").alias("parent_key"),
+            F.col("visit_ord").alias("parent_ord"),
+            (F.col("depth") + 1).alias("depth"),
+            F.posexplode("outlinks").alias("link_idx", "span"),
+        ]
+        block_type_col = classify_block_col(F.col("u"))
+        domain_ok = allowed_domain_col(F.col("seed_url"), F.col("u"))
+        domain_block_col = F.when(
+            F.col("block_type").isNull() & ~domain_ok, F.lit("DOMAIN_FILTER")
+        ).otherwise(F.col("block_type"))
+        norm_url_col = normalize_url_udf(F.col("u"))
+        seen_cols = [
+            F.col("siteid"), F.col("url_key"), F.col("host_bucket"),
+            F.col("depth").alias("first_depth"),
+        ]
+
         try:
             while stats.rounds < self.cfg.max_rounds:
+                t_round = time.perf_counter()
                 frontier_count = _parquet_rows(self._p("frontier", stats.rounds))
                 if frontier_count == 0:
                     break
@@ -453,18 +525,6 @@ class CrawlEngine:
                     fetched = batch.join(
                         pages, batch.url_key == pages.url, "left"
                     ).drop("url")
-                found = F.col("status_code").isNotNull()
-                retry_ok = F.coalesce(F.col("first_attempts_429"), F.lit(0)) <= MAX_RETRIES_429
-                ct = F.lower(F.coalesce(F.col("content_type"), F.lit("")))
-                is_2xx = F.col("status_code").between(200, 299)
-                ct_ok = ct.contains("text/html") | ct.contains("application/json")
-                success = found & retry_ok & is_2xx & ct_ok
-                error = (
-                    F.when(~found, F.lit("connection error"))
-                    .when(~retry_ok, F.lit("http error: 429"))
-                    .when(~is_2xx, F.concat(F.lit("http error: "), F.col("status_code")))
-                    .when(~ct_ok, F.concat(F.lit("ignored content type: "), ct))
-                )
                 fetched = fetched.withColumn("_success", success).withColumn(
                     "_error", error
                 )
@@ -475,20 +535,7 @@ class CrawlEngine:
                 sink_futs = []
                 sink_futs.append(sink_pool.submit(
                     self._write,
-                    fetched.select(
-                        "siteid", "url_key", "depth",
-                        F.coalesce(
-                            F.when(~retry_ok, F.lit(429)), F.col("status_code"), F.lit(0)
-                        ).alias("status_code"),
-                        ct.alias("content_type"),
-                        F.col("_success").alias("success"),
-                        F.col("_error").alias("error"),
-                        "response_time_ms",
-                        "content_length",
-                        "visit_ord",
-                        "parent_key",
-                        F.lit(r).alias("round"),
-                    ),
+                    fetched.select(*fetch_log_cols, F.lit(r).alias("round")),
                     "fetch_log",
                     r,
                 ))
@@ -500,59 +547,32 @@ class CrawlEngine:
                     "siteid", "url_key", "visit_ord", "depth", "seed_url",
                     "seed_host_key", "html", "rendered_html",
                 )
-                base_key = registrable_host_col(F.col("url_key"))
-                parsed = html_rows.withColumn(
-                    "spans1", extract_spans_udf(F.col("html"), F.col("url_key"))
-                ).withColumn(
-                    "_use_rendered",
-                    (F.size(outlink_spans_col(F.col("spans1"), base_key)) == 0)
-                    & needs_js_col(F.col("html"))
-                    & F.col("rendered_html").isNotNull(),
-                )
                 # only SPA rows pay the second parse: UDF sees NULL elsewhere
-                parsed = parsed.withColumn(
-                    "spans",
-                    F.when(
-                        F.col("_use_rendered"),
-                        extract_spans_udf(
-                            F.when(F.col("_use_rendered"), F.col("rendered_html")),
-                            F.col("url_key"),
-                        ),
-                    ).otherwise(F.col("spans1")),
-                ).withColumn("outlinks", outlink_spans_col(F.col("spans"), base_key))
-                parsed = parsed.drop("spans1", "_use_rendered", "html", "rendered_html")
+                parsed = (
+                    html_rows.withColumn("spans1", spans1_col)
+                    .withColumn("_use_rendered", use_rendered_col)
+                    .withColumn("spans", spans_col)
+                    .withColumn("outlinks", outlinks_col)
+                    .drop("spans1", "_use_rendered", "html", "rendered_html")
+                )
                 parsed.persist()
 
                 # -- documents sink (doc_id = canonical id vs the seed) -------
                 sink_futs.append(sink_pool.submit(
                     self._write,
-                    parsed.select(
-                        canonical_id_udf(F.col("url_key"), F.col("seed_url")).alias(
-                            "doc_id"
-                        ),
-                        "siteid", "spans", "visit_ord",
-                        F.lit(r).alias("round"),
-                    ),
+                    parsed.select(*doc_cols, F.lit(r).alias("round")),
                     "documents",
                     r,
                 ))
 
                 # -- outlink candidates → admission pipeline ------------------
-                cand = parsed.select(
-                    "siteid", "seed_url", "seed_host_key",
-                    F.col("url_key").alias("parent_key"),
-                    F.col("visit_ord").alias("parent_ord"),
-                    (F.col("depth") + 1).alias("depth"),
-                    F.posexplode("outlinks").alias("link_idx", "span"),
-                ).withColumn("u", F.col("span.media_ref")).drop("span")
-                cand = cand.withColumn("block_type", classify_block_col(F.col("u")))
-                domain_ok = allowed_domain_col(F.col("seed_url"), F.col("u"))
-                cand = cand.withColumn(
-                    "block_type",
-                    F.when(
-                        F.col("block_type").isNull() & ~domain_ok, F.lit("DOMAIN_FILTER")
-                    ).otherwise(F.col("block_type")),
+                cand = (
+                    parsed.select(*cand_cols)
+                    .withColumn("u", F.col("span.media_ref"))
+                    .drop("span")
                 )
+                cand = cand.withColumn("block_type", block_type_col)
+                cand = cand.withColumn("block_type", domain_block_col)
                 if self._robots_matcher is not None:
                     robots_ok = self._robots_matcher.allowed_udf()(
                         url_host(F.col("u")),
@@ -589,7 +609,7 @@ class CrawlEngine:
                 # -- normalize (the canonicalization Arrow UDF) + dedup -------
                 new_links = (
                     cand.filter(F.col("block_type").isNull())
-                    .withColumn("url_key", normalize_url_udf(F.col("u")))
+                    .withColumn("url_key", norm_url_col)
                     .drop("u", "block_type", "seed_url", "seed_host_key")
                 )
                 if self.cfg.max_depth is not None:
@@ -648,6 +668,7 @@ class CrawlEngine:
                 # below — both only need the persisted new_frontier (the
                 # first to run materializes the cache, the other reuses it);
                 # the future is joined before bloom/cuckoo/meta commit
+                t_plan = time.perf_counter()
                 frontier_fut = sink_pool.submit(
                     self._write, new_frontier, "frontier", r
                 )
@@ -671,12 +692,13 @@ class CrawlEngine:
                     )
                 )
                 seen_new = seen_src.select(
-                    "siteid", "url_key", "host_bucket",
-                    F.col("depth").alias("first_depth"),
+                    *seen_cols,
                     F.lit(r).alias("round_seen"),
                 )
                 self._write(seen_new, "seen", r)
+                t_seen = time.perf_counter()
                 frontier_fut.result()
+                t_frontier = time.perf_counter()
                 seen_count += _parquet_rows(self._p("seen", r))
                 if self._filters is not None:
                     from web_crawler_spark.operators.cuckoo import merge_new_keys
@@ -698,8 +720,10 @@ class CrawlEngine:
                     self.bloom = self._new_bloom(seen_count)
                     self._bloom_add(self.read_all("seen"))
 
+                t_filters = time.perf_counter()
                 for f in sink_futs:
                     f.result()  # surface sink errors before committing meta
+                t_sinks = time.perf_counter()
 
                 # S5 crawl-page upsert (mysql.py:135-142): one row per
                 # page keyed (siteid, url_key), last write wins — a real
@@ -710,6 +734,7 @@ class CrawlEngine:
 
                 stats.total_visits += batch_count
                 stats.rounds = r
+                now = time.perf_counter()
                 round_metrics = {
                     "round": r,
                     "visited": batch_count,
@@ -719,6 +744,18 @@ class CrawlEngine:
                     "new_seen": _parquet_rows(self._p("seen", r)),
                     "blocked": _parquet_rows(self._p("blocked", r)),
                     "documents": _parquet_rows(self._p("documents", r)),
+                    # per-phase wall ms (F6 observability): where a
+                    # round's latency went — plan build, seen commit
+                    # (materializes the persisted new_frontier), wait
+                    # for the overlapped frontier write, seen-filter
+                    # maintenance, wait for the fetch_log/documents/
+                    # blocked sinks, total
+                    "ms_plan": round((t_plan - t_round) * 1000, 1),
+                    "ms_seen_commit": round((t_seen - t_plan) * 1000, 1),
+                    "ms_frontier_wait": round((t_frontier - t_seen) * 1000, 1),
+                    "ms_filters": round((t_filters - t_frontier) * 1000, 1),
+                    "ms_sinks_wait": round((t_sinks - t_filters) * 1000, 1),
+                    "ms_round": round((now - t_round) * 1000, 1),
                 }
                 stats.per_round.append(round_metrics)
                 self._append_metrics(round_metrics)
