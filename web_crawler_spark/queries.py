@@ -51,16 +51,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _twide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Table scan round-robined to the session's full parallelism.
+    """Table scan feeding a per-row-heavy plan (signature/band UDFs).
 
-    Bench-scale tables are one parquet split, so a per-row-heavy plan
-    (signature/band UDFs, regexp chains) downstream would run on a
-    single core. At real scale the scan already has ≥ cores splits and
-    this shuffle moves only the narrow scanned columns once — noise
-    next to the UDF stage it feeds."""
-    return _t(spark, sf_dir, name).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    Deliberately a plain scan. A ``repartition(defaultParallelism)``
+    here — to spread the UDF stage beyond the single parquet split the
+    bench-scale tables occupy — A/B-measured ~2× SLOWER in suite
+    context (shuffling the wide text column + 32-way Python-worker
+    fan-out costs more than the whole-batch-vectorized single-split
+    UDF saves); warm repeat-runs had masked that. At real scale the
+    scan has ≥ cores splits and needs no help."""
+    return _t(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------
@@ -635,15 +635,9 @@ def q_so5_rule_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of HTML bodies)."""
     from web_crawler_spark.engine.compare import detect_rules_paired
 
-    # the narrow (doc_id, text) scan is one parquet split at bench
-    # scale; round-robin it so the regexp-heavy detect chain runs on
-    # every core (at real scale the scan has many splits already and
-    # Catalyst elides nothing here — the shuffle moves only raw text)
-    d = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    # plain scan: a repartition to spread the regexp chain across
+    # cores A/B-measured slower in suite context (see _twide)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     v = F.pmod(F.col("doc_id"), F.lit(5))
     pre, post = "<html><body><p>", "</p></body></html>"
     base_html = F.concat(F.lit(pre), F.col("text"), F.lit(post))
