@@ -353,6 +353,58 @@ def generate_expected_doc_stats(cfg: WebGraphConfig) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def generate_blocked_expectations(cfg: WebGraphConfig) -> pd.DataFrame:
+    """Structural (src_url, url, block_type) expectations for the
+    block-report oracle, derived from the ``_build_html`` TEMPLATE —
+    not by running the engine's parser or classifier.
+
+    Every parsed page carries exactly one link per block rule (plus a
+    second STATIC for the stylesheet link): the template's blocked
+    anchors resolve against the page's FETCH host, and the rule labels
+    here restate the reference's worker.py:30-35,52-66 rule order
+    (static extension beats ASSET_DIRECTORY for logo.png/style.css;
+    the Elementor query mark fires on the page's own path). Anchors
+    the engine never turns into candidates (fragment-only, mailto/tel/
+    javascript schemes, off-registrable-host) are deliberately absent.
+    A DuckDB oracle joins these rows to the BFS visited set, making it
+    independent of the Spark parse → outlink → classify pipeline.
+
+    Only valid for failure-free graphs (pages_per_host * skew <= 20),
+    like ``generate_admitted_edges``; the SPA page (j == 3) contributes
+    the same rows via rendered_html.
+    """
+    rows: list[dict] = []
+
+    def page_blocked(fetch_host: str, j: int) -> None:
+        src = _page_url(fetch_host, j)
+        base = f"https://{fetch_host}"
+        for url, block_type in (
+            (f"{base}/assets/logo.png", "STATIC"),
+            (f"{base}/theme/style.css", "STATIC"),
+            (f"{base}{_path(j)}?e-page-1a2b=3", "BLOG_EPAGE"),
+            (f"{base}/tag/news", "TAG_PAGE"),
+            (f"{base}/author/admin", "AUTHOR_PAGE"),
+            (f"{base}/page/2/", "PAGINATION"),
+            (f"{base}/static/docs/readme", "ASSET_DIRECTORY"),
+        ):
+            rows.append({"src_url": src, "url": url, "block_type": block_type})
+
+    for h in range(cfg.hosts):
+        host = _host_name(cfg, h)
+        n = cfg.pages_per_host * (cfg.skew if h == 0 else 1)
+        if n > 20:
+            raise ValueError(
+                "blocked-expectation generation requires a failure-free "
+                "graph (pages_per_host * skew <= 20)"
+            )
+        for j in range(n):
+            page_blocked(host, j)
+        if h == 0 and cfg.www_alias_host0:
+            for j in range(n):
+                page_blocked(f"www.{host}", j)
+    return pd.DataFrame(rows)
+
+
 def generate_seed_keys(cfg: WebGraphConfig) -> pd.DataFrame:
     """(siteid, url_key) for the enabled seeds, normalized exactly as
     the engine's seed preparation normalizes them."""

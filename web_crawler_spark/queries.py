@@ -1184,8 +1184,48 @@ def q_crawl_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _blocked_oracle_sql() -> str:
+    """A4/P10 oracle: the template-derived blocked-link expectations
+    (fixtures.webgraph.generate_blocked_expectations — counting the
+    template's blocked anchors per page, not running the parser or the
+    classifier) joined to the BFS visited set, aggregated per rule with
+    the same sorted-first-5 sample the engine's blocked_report slices."""
+    from web_crawler_spark.fixtures.webgraph import (
+        WebGraphConfig,
+        generate_blocked_expectations,
+    )
+
+    os.makedirs(_VISITS_ORACLE_DIR, exist_ok=True)
+    bx = os.path.join(_VISITS_ORACLE_DIR, "blocked_exp.parquet")
+    cfg = WebGraphConfig(hosts=2, pages_per_host=12, seed=42)  # = _crawl_state
+    generate_blocked_expectations(cfg).to_parquet(bx, index=False)
+    return _bfs_cte_sql() + f"""
+, visited AS (SELECT DISTINCT url FROM best WHERE rk = 1),
+hits AS (
+  SELECT b.block_type, b.url
+  FROM read_parquet('{bx}') b JOIN visited v ON v.url = b.src_url
+),
+ranked AS (
+  SELECT block_type, url,
+         row_number() OVER (PARTITION BY block_type ORDER BY url) AS rn
+  FROM hits
+),
+samples AS (
+  SELECT block_type, string_agg(url, '|' ORDER BY url) AS sample_urls
+  FROM ranked WHERE rn <= 5 GROUP BY block_type
+)
+SELECT h.block_type,
+       CAST(count(*) AS BIGINT) AS count,
+       s.sample_urls
+FROM hits h JOIN samples s USING (block_type)
+GROUP BY h.block_type, s.sample_urls
+"""
+
+
 def q_crawl_blocked_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4/P10 block report: per-rule counts + deterministic URL sample."""
+    """A4/P10 block report: per-rule counts + deterministic URL sample.
+    DuckDB-oracled: template-derived blocked-link expectations × BFS
+    visited set (see _blocked_oracle_sql)."""
     b = _crawl_state(spark)["blocked"]
     # sample serialized with concat_ws: the driver's canonicalizer
     # sorts rows before hashing and cannot sort list cells
@@ -1450,6 +1490,7 @@ ORACLES: dict[str, str] = {
     "crawl_visits": _visits_oracle_sql(),
     "crawl_routing_graph": _routing_oracle_sql(),
     "crawl_documents": _documents_oracle_sql(),
+    "crawl_blocked_report": _blocked_oracle_sql(),
     "a3_classification": _a3_oracle_sql(),
     "so5_rule_chain": ORACLE_SO5_RULES,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
@@ -1458,9 +1499,7 @@ ORACLES: dict[str, str] = {
     "ann_brute_force_topk": ORACLE_ANN,
     # no oracle (rows-only, by design): dedup_minhash_lsh, dedup_simhash,
     # dedup_embedding_lsh, ann_lsh_topk, ann_ivf_topk (approximate /
-    # signature UDFs not SQL-expressible), crawl_blocked_report (block
-    # routing of non-admitted links is parser-positional),
-    # x1_parse_spans (HTML parse), multimodal_*, compare_observations
-    # (engine COMPARE pipeline); pytest gates their semantics against
-    # pure-Python oracles instead
+    # signature UDFs not SQL-expressible), x1_parse_spans (HTML parse),
+    # multimodal_*, compare_observations (engine COMPARE pipeline);
+    # pytest gates their semantics against pure-Python oracles instead
 }
