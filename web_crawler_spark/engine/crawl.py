@@ -441,9 +441,16 @@ class CrawlEngine:
             F.col("parent_key"),
         ]
         base_key = registrable_host_col(F.col("url_key"))
-        spans1_col = extract_spans_udf(F.col("html"), F.col("url_key"))
+        # parse gate (P9): only successful text/html fetches feed the
+        # parser — the UDF sees NULL elsewhere and returns [] without
+        # touching the payload
+        parse_gate = success & ct.contains("text/html")
+        spans1_col = extract_spans_udf(
+            F.when(parse_gate, F.col("html")), F.col("url_key")
+        )
         use_rendered_col = (
-            (F.size(outlink_spans_col(F.col("spans1"), base_key)) == 0)
+            parse_gate
+            & (F.size(outlink_spans_col(F.col("spans1"), base_key)) == 0)
             & needs_js_col(F.col("html"))
             & F.col("rendered_html").isNotNull()
         )
@@ -515,19 +522,46 @@ class CrawlEngine:
                 # -- fetch: mapInPandas callback per host_bucket partition
                 # (production HTTP seam) or equi-join vs the synthetic pages
                 # table (AQE broadcasts the small side)
+                # -- fetch + parse, payload never persisted -------------------
+                # The raw html/rendered_html bytes live and die inside the
+                # stage that produced them: spans are computed before any
+                # persist/exchange and html is dropped, so page payloads
+                # are never cached, never shuffled, never re-scanned — at
+                # 100 TB the payload column is ~50× the structured output,
+                # and this is the difference between caching 2 TB and
+                # caching 100 TB per round.
                 if self._fetcher is not None:
-                    from web_crawler_spark.operators.fetch import fetch_with_callback
+                    # production seam: fetch AND parse fused in one
+                    # mapInPandas task — html never even crosses the
+                    # Python→JVM Arrow boundary
+                    from web_crawler_spark.operators.fetch import (
+                        fetch_parse_with_callback,
+                    )
 
-                    fetched = fetch_with_callback(
-                        batch, self._fetcher, self.cfg.num_host_buckets
+                    fetched = (
+                        fetch_parse_with_callback(
+                            batch, self._fetcher, self.cfg.num_host_buckets,
+                            max_retries_429=MAX_RETRIES_429,
+                        )
+                        .withColumn("_success", success)
+                        .withColumn("_error", error)
+                        .withColumn("outlinks", outlinks_col)
                     )
                 else:
-                    fetched = batch.join(
-                        pages, batch.url_key == pages.url, "left"
-                    ).drop("url")
-                fetched = fetched.withColumn("_success", success).withColumn(
-                    "_error", error
-                )
+                    # fixture mode (synthetic pages table): parse in the
+                    # join stage via the Column chain; failed / non-html
+                    # rows pass the UDF a NULL and cost nothing
+                    fetched = (
+                        batch.join(pages, batch.url_key == pages.url, "left")
+                        .drop("url")
+                        .withColumn("_success", success)
+                        .withColumn("_error", error)
+                        .withColumn("spans1", spans1_col)
+                        .withColumn("_use_rendered", use_rendered_col)
+                        .withColumn("spans", spans_col)
+                        .withColumn("outlinks", outlinks_col)
+                        .drop("spans1", "_use_rendered", "html", "rendered_html")
+                    )
                 fetched.persist()
 
                 # -- sink: fetch_log (carries the visit columns too — one
@@ -540,22 +574,13 @@ class CrawlEngine:
                     r,
                 ))
 
-                # -- parse (HTML gate → spans UDF → native outlinks) ----------
-                html_rows = fetched.filter(
+                # -- parsed view (HTML gate, P9): rows that produced spans ----
+                parsed = fetched.filter(
                     F.col("_success") & ct.contains("text/html")
                 ).select(
                     "siteid", "url_key", "visit_ord", "depth", "seed_url",
-                    "seed_host_key", "html", "rendered_html",
+                    "seed_host_key", "spans", "outlinks",
                 )
-                # only SPA rows pay the second parse: UDF sees NULL elsewhere
-                parsed = (
-                    html_rows.withColumn("spans1", spans1_col)
-                    .withColumn("_use_rendered", use_rendered_col)
-                    .withColumn("spans", spans_col)
-                    .withColumn("outlinks", outlinks_col)
-                    .drop("spans1", "_use_rendered", "html", "rendered_html")
-                )
-                parsed.persist()
 
                 # -- documents sink (doc_id = canonical id vs the seed) -------
                 sink_futs.append(sink_pool.submit(
@@ -762,7 +787,6 @@ class CrawlEngine:
                 self._write_meta(r, stats.total_visits)
 
                 fetched.unpersist()
-                parsed.unpersist()
                 cand.unpersist()
                 new_frontier.unpersist()
 

@@ -10,6 +10,7 @@ generator itself is O(rows/partition) and scales with the cluster).
 from __future__ import annotations
 
 import random
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -48,7 +49,7 @@ def generate_pages_df(
             for i in pdf["id"]:
                 h, j = int(i) % hosts, int(i) // hosts
                 host = _host_name(cfg, h)
-                rng = random.Random((seed, host, j).__hash__() & 0x7FFFFFFF)
+                rng = random.Random(zlib.crc32(f"{seed}|{host}|{j}".encode()))
                 html = _build_html(cfg, host, j, pages_per_host, rng)
                 rows.append(
                     {
@@ -99,3 +100,45 @@ def generate_frontier_df(
         ),
         F.lit(None).cast("string").alias("parent_key"),
     )
+
+
+def make_synthetic_fetcher(
+    hosts: int = 50, pages_per_host: int = 2000, seed: int = 42
+):
+    """Deterministic in-executor fetch callback (operators/fetch.py
+    FetchFn contract): synthesizes, from the URL alone, the exact page
+    a generate_pages_df row carries — the PRODUCTION fetch shape. The
+    payload is born inside the fetch task and (with the engine's
+    parse-in-stage plan) dies inside the same stage: no pages table,
+    no join, no exchange ever carries html. URL inverse of
+    webgraph._page_url: https://{host}/ (j=0) or https://{host}/p{j}."""
+    from urllib.parse import urlparse
+
+    cfg = WebGraphConfig(
+        hosts=hosts, pages_per_host=pages_per_host, seed=seed,
+        www_alias_host0=False,
+    )
+
+    def fetch(req: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for u in req["url_key"]:
+            p = urlparse(u)
+            host, path = p.netloc, p.path
+            j = 0 if path in ("", "/") else int(path[2:].rstrip("/"))
+            rng = random.Random(zlib.crc32(f"{seed}|{host}|{j}".encode()))
+            html = _build_html(cfg, host, j, pages_per_host, rng)
+            rows.append(
+                {
+                    "url_key": u,
+                    "status_code": 200,
+                    "content_type": "text/html; charset=utf-8",
+                    "html": html,
+                    "rendered_html": None,
+                    "first_attempts_429": 0,
+                    "response_time_ms": 20 + (j * 13) % 180,
+                    "content_length": len(html),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return fetch

@@ -15,6 +15,7 @@ external data. Pure functions → usable from driver or executors.
 from __future__ import annotations
 
 import random
+import zlib
 from dataclasses import dataclass
 
 import pandas as pd
@@ -124,7 +125,7 @@ _SPA_HTML = (
 
 
 def _page_row(cfg: WebGraphConfig, host: str, j: int, n_pages: int) -> dict:
-    rng = random.Random((cfg.seed, host, j).__hash__() & 0x7FFFFFFF)
+    rng = random.Random(zlib.crc32(f"{cfg.seed}|{host}|{j}".encode()))
     url = _page_url(host, j)
     status, ctype, f429 = 200, "text/html; charset=utf-8", 0
     html = _build_html(cfg, host, j, n_pages, rng)

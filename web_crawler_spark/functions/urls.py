@@ -30,8 +30,18 @@ from web_crawler_spark.oracle import semantics as sem
 @F.pandas_udf(StringType())
 def normalize_url_udf(url: pd.Series) -> pd.Series:
     """normalize_fetch_url(url) — the frontier/seen dedup key
-    (reference crawler/frontier.py:44 uses no preference URL)."""
-    return url.map(lambda u: sem.normalize_fetch_url(u) if u else "")
+    (reference crawler/frontier.py:44 uses no preference URL).
+
+    Normalizes each DISTINCT value once per Arrow batch and maps back:
+    crawl candidate batches repeat hot targets ~fanout× (every page
+    links its host's home page), so this cuts the Python work by the
+    in-batch duplication factor at zero plan cost."""
+    uniq = url.dropna().drop_duplicates()
+    table = pd.Series(
+        [sem.normalize_fetch_url(u) if u else "" for u in uniq],
+        index=uniq,
+    )
+    return url.map(table).fillna("")
 
 
 @F.pandas_udf(StringType())

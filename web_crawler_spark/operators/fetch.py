@@ -82,6 +82,99 @@ def fetch_with_callback(
     )
 
 
+def fetch_parse_with_callback(
+    batch: DataFrame,
+    fetch_fn: FetchFn,
+    num_partitions: int | None = None,
+    max_retries_429: int = 2,
+) -> DataFrame:
+    """Fetch AND parse fused into one mapInPandas stage — the 100 TB
+    plan. The page payload is born inside the fetch task, parsed right
+    there (X1 spans, incl. the X3 SPA-rendered fallback), and only the
+    structured ``spans`` column plus fetch metadata cross the
+    Python→JVM boundary: raw html never crosses a process, cache, or
+    network boundary at all. Compared to chaining
+    ``fetch_with_callback`` + the spans pandas UDF, this removes two
+    full Arrow serializations of every page body per round (~2× the
+    corpus size in memory traffic).
+
+    Parse gate ≡ engine/crawl.py's (P9/S3/S4): 2xx AND text/html AND
+    the 429-retry budget (crawler/fetcher.py:17-18). The SPA fallback
+    ≡ the engine's Column chain: rendered_html is parsed only when the
+    primary parse yields no outlinks and the page looks JS-rendered
+    (js_detect.py:6-36 semantics, oracle/semantics.needs_js_rendering).
+    Output = input cols + fetch metadata (html/rendered_html replaced
+    by ``spans``); downstream outlink extraction stays the native
+    ``outlink_spans_col``.
+    """
+    from web_crawler_spark.oracle import htmlspans
+    from web_crawler_spark.oracle import semantics as sem
+    from web_crawler_spark.schemas import SPANS_TYPE
+
+    in_fields = [f for f in batch.schema.fields if f.name not in RESULT_COLS]
+    in_cols = [f.name for f in in_fields]
+    meta_fields = [
+        f for f in RESULT_FIELDS if f.name not in ("html", "rendered_html")
+    ]
+    meta_cols = [f.name for f in meta_fields]
+    out_schema = StructType(
+        list(in_fields) + meta_fields + [StructField("spans", SPANS_TYPE)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            req = pdf[["url_key", "host"]] if "host" in pdf else pdf[["url_key"]]
+            res = fetch_fn(req)
+            out = pdf[in_cols].merge(
+                res[["url_key"] + [c for c in RESULT_COLS if c in res.columns]],
+                on="url_key",
+                how="left",
+            )
+            for c in RESULT_COLS:
+                if c not in out.columns:
+                    out[c] = None
+            spans_col = []
+            for key, status, ctype, f429, h, rend in zip(
+                out["url_key"], out["status_code"], out["content_type"],
+                out["first_attempts_429"], out["html"], out["rendered_html"],
+            ):
+                ok = (
+                    status is not None
+                    and not pd.isna(status)
+                    and 200 <= int(status) <= 299
+                    and isinstance(ctype, str)
+                    and "text/html" in ctype.lower()
+                    and (0 if (f429 is None or pd.isna(f429)) else int(f429))
+                    <= max_retries_429
+                    and isinstance(h, str)
+                    and h
+                )
+                if not ok:
+                    spans_col.append([])
+                    continue
+                sp = htmlspans.extract_spans(h, key)
+                if (
+                    not htmlspans.outlinks(sp, key)
+                    and sem.needs_js_rendering(h)
+                    and isinstance(rend, str)
+                    and rend
+                ):
+                    sp = htmlspans.extract_spans(rend, key)
+                spans_col.append(sp)
+            out = out.drop(columns=["html", "rendered_html"])
+            out["spans"] = spans_col
+            yield out[in_cols + meta_cols + ["spans"]]
+
+    parts = num_partitions or int(
+        batch.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return batch.repartition(parts, F.col("host_bucket")).mapInPandas(
+        run, schema=out_schema
+    )
+
+
 def make_lookup_fetcher(pages: pd.DataFrame) -> FetchFn:
     """Fixture fetcher: deterministic lookup into a pages table (same
     rows the equi-join fetch would produce). Captured by value — at

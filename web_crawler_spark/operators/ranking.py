@@ -75,10 +75,26 @@ def first_wins(
 ) -> DataFrame:
     """Within-batch first-wins dedup (crawler/frontier.py:46-49 semantics
     under single-worker order): keep, per key, the row with the smallest
-    BFS priority. Hash-partitions by key — no global sort needed."""
-    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    BFS priority.
+
+    Expressed as groupBy + ``min_by`` over the priority struct rather
+    than a rank-1 window: Catalyst runs a map-side PARTIAL aggregate,
+    so at most one candidate per (key, map partition) reaches the
+    exchange. On a crawl frontier, hot targets repeat ~fanout× per
+    round (every page links its host's home page), so this cuts
+    shuffle rows by roughly the duplication factor — the window form
+    must exchange every candidate row before it can rank. Result-
+    identical when the priority tuples are unique per key (BFS
+    priorities are, by construction: link_idx disambiguates even
+    duplicate hrefs on one page)."""
+    ordk = F.struct(*[F.col(c) for c in order_cols])
+    other = [c for c in df.columns if c not in key_cols]
+    row = df.groupBy(*key_cols).agg(
+        F.min_by(F.struct(*[F.col(c) for c in other]), ordk).alias("_w")
+    )
+    return row.select(
+        *[
+            F.col(f"_w.{c}").alias(c) if c not in key_cols else F.col(c)
+            for c in df.columns
+        ]
     )
