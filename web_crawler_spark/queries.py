@@ -97,7 +97,7 @@ SELECT source,
        count(*) AS n_docs,
        count(CASE WHEN n_chars > 300 THEN 1 END) AS n_long,
        count(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
-       sum(n_chars) AS sum_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        CAST((sum(n_chars) * 20000 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0
          AS avg_chars
 FROM documents GROUP BY source
