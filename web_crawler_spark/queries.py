@@ -171,17 +171,26 @@ SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
 
 def q_o1_recent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 recent-alerts shape: ORDER BY ts DESC LIMIT 5 with
-    deterministic tie-break (ui/app.py:140-143)."""
+    deterministic tie-break (ui/app.py:140-143). `ts_ist` is the
+    reference UI's UTC→IST display conversion (ui.py:71-80) — §2.K
+    date family via from_utc_timestamp."""
     e = _t(spark, sf_dir, "events")
     return (
         e.orderBy(F.col("ts").desc(), F.col("event_id").desc())
-        .select("event_id", "ts", "event_type", F.round("value", 4).alias("value"))
+        .select(
+            "event_id",
+            "ts",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.from_utc_timestamp("ts", "Asia/Kolkata").alias("ts_ist"),
+        )
         .limit(5)
     )
 
 
 ORACLE_O1 = """
-SELECT event_id, ts, event_type, round(value, 4) AS value
+SELECT event_id, ts, event_type, round(value, 4) AS value,
+       timezone('Asia/Kolkata', CAST(ts AS TIMESTAMPTZ)) AS ts_ist
 FROM events ORDER BY ts DESC, event_id DESC LIMIT 5
 """
 
@@ -811,9 +820,10 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _twide(spark, sf_dir, "embeddings")
-    return embedding_cosine_pairs_lsh(
-        e, dim=64, threshold=0.4, num_bits=16, sim_round=4
-    )
+    # operator default num_bits=32 (8-bit bands): the A/B-selected
+    # config — 4-bit bands made 23% of ALL sf0.1 pairs collide, which
+    # is exactly the candidate blowup LSH exists to avoid at scale
+    return embedding_cosine_pairs_lsh(e, dim=64, threshold=0.4, sim_round=4)
 
 
 # ---------------------------------------------------------------------------
@@ -1237,30 +1247,112 @@ def q_crawl_blocked_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_compare_observations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COMPARE-mode pipeline (J2/J3 + H3 + A8/A9, rows-only): baselines
-    from the fixture web, three mutated observations, full join+score
-    plan; severity rollup as output (deterministic)."""
+    """COMPARE flagship (compare_engine.py:36-162 — J3 join + H3 change
+    detection + A8 difflib scoring + A9 severity + SO3 script diff) as
+    one driver-oracled per-row query. Five deterministic page variants
+    are derived per documents row (doc_id % 5): 0 unchanged, 1
+    script-only injection (invisible to the semantic hash BY DESIGN —
+    normalize_html drops script subtrees; script_injection_scan is the
+    path that catches it), 2 text edit, 3 structural re-nest, 4 full
+    defacement + injected script. The full engine path runs: baselines
+    built from the base variant, observations from the mutated one,
+    compare_observations joins and scores them. The DuckDB oracle
+    mirrors the semantic-line/difflib math analytically (closed forms
+    per variant over the 7-line semantic tree — see ORACLE_COMPARE)."""
     from web_crawler_spark.engine.compare import (
         build_baselines,
         compare_observations,
-        observations_summary,
         observe_pages,
     )
-    from web_crawler_spark.fixtures.webgraph import WebGraphConfig, generate_pages
 
-    pages = generate_pages(WebGraphConfig(hosts=2, pages_per_host=8))
-    pages = pages[pages["content_type"].str.contains("text/html")].copy()
-    pages["siteid"] = 1
-    obs = pages.copy().reset_index(drop=True)
-    obs.loc[2, "html"] = "<html><body><h1>DEFACED</h1></body></html>"
-    obs.loc[4, "html"] = obs.loc[4, "html"].replace("Page", "Defaced page")
-    base = build_baselines(
-        spark.createDataFrame(pages).withColumnRenamed("url", "url_key")
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url_key"),
+        F.lit(1).alias("siteid"),
+        "text",
     )
-    o = observe_pages(
-        spark.createDataFrame(obs).withColumnRenamed("url", "url_key")
+    v = F.pmod(F.col("url_key").cast("long"), F.lit(5))
+    pre, post = "<html><body><p>", "</p></body></html>"
+    base_html = F.concat(F.lit(pre), F.col("text"), F.lit(post))
+    obs_html = (
+        F.when(
+            v == 1,
+            F.concat(
+                F.lit(pre),
+                F.col("text"),
+                F.lit(
+                    '</p><script src="https://x.test/inject.js">'
+                    "</script></body></html>"
+                ),
+            ),
+        )
+        .when(v == 2, F.concat(F.lit(pre), F.col("text"), F.lit(" zzznew" + post)))
+        .when(
+            v == 3,
+            F.concat(
+                F.lit("<html><body><div><p>"),
+                F.col("text"),
+                F.lit("</p></div></body></html>"),
+            ),
+        )
+        .when(
+            v == 4,
+            F.lit(
+                '<h1>DEFACED</h1><script src="https://evil.test/x.js"></script>'
+            ),
+        )
+        .otherwise(base_html)
     )
-    return observations_summary(compare_observations(o, base)).orderBy("severity")
+    base = build_baselines(d.select("siteid", "url_key", base_html.alias("html")))
+    obs = observe_pages(d.select("siteid", "url_key", obs_html.alias("html")))
+    out = compare_observations(obs, base)
+    return out.select(
+        F.col("url_key").cast("long").alias("doc_id"),
+        "changed",
+        F.col("defacement_score").alias("score"),
+        "severity",
+        F.concat_ws("|", F.sort_array("scripts_added")).alias("scripts_added"),
+    )
+
+
+ORACLE_COMPARE = """
+WITH p AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id % 5 AS INT) AS v,
+         (length(trim(text)) > 0) AS has_text
+  FROM documents
+),
+-- semantic_lines of <html><body><p>text</p></body></html> is a 7-line
+-- tree (6 when text is empty); difflib changed-line counts per variant:
+-- v2 replaces the text line (or inserts it when base had none), v3
+-- re-indents the 3 middle lines (2 when no text), v4 shares no line
+-- with the baseline so every baseline line counts; v1's script-only
+-- change is invisible to the noise-dropping hash so changed=false
+s AS (
+  SELECT doc_id, v,
+         CAST(6 + CASE WHEN has_text THEN 1 ELSE 0 END AS DOUBLE) AS base_lines,
+         CASE v
+           WHEN 2 THEN 1.0
+           WHEN 3 THEN CASE WHEN has_text THEN 3.0 ELSE 2.0 END
+           WHEN 4 THEN CAST(6 + CASE WHEN has_text THEN 1 ELSE 0 END AS DOUBLE)
+           ELSE 0.0
+         END AS changed_lines
+  FROM p
+),
+sc AS (
+  SELECT doc_id, v,
+         v IN (2, 3, 4) AS changed,
+         round(least(100.0, 100.0 * changed_lines / base_lines), 2) AS score
+  FROM s
+)
+SELECT doc_id, changed, score,
+       CASE WHEN NOT changed THEN 'NONE'
+            WHEN score < 5 THEN 'LOW'
+            WHEN score < 20 THEN 'MEDIUM'
+            WHEN score < 50 THEN 'HIGH'
+            ELSE 'CRITICAL' END AS severity,
+       CASE WHEN v = 4 THEN 'https://evil.test/x.js' ELSE '' END AS scripts_added
+FROM sc
+"""
 
 
 _A3_EXTRA_URLS = (
@@ -1348,15 +1440,28 @@ def q_a3_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_oracle_parquet() -> str:
+    """Materialize the deterministic media fixture once for the
+    multimodal oracles (payload bytes land in parquet as BLOBs DuckDB
+    can hex-slice)."""
+    from web_crawler_spark.fixtures.media import generate_media
+
+    os.makedirs(_VISITS_ORACLE_DIR, exist_ok=True)
+    p = os.path.join(_VISITS_ORACLE_DIR, "media.parquet")
+    generate_media(n=60).to_parquet(p, index=False)
+    return p
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing showcase (rows-only): binary payloads →
-    mapInPandas decode → typed metadata + resize plan + frame counts."""
+    """Multimodal decode + resize plan, driver-oracled: binary payloads
+    → mapInPandas decode → typed metadata + native resize targets. The
+    FakeCodec header is a fixed big-endian struct (>4s1sIIII) the
+    DuckDB oracle unpacks by hex-slicing the same blob bytes."""
     from pyspark.sql import functions as F2
 
-    from web_crawler_spark.fixtures.media import generate_media
     from web_crawler_spark.operators.multimodal import decode_media, resize_plan
 
-    media = spark.createDataFrame(generate_media(n=60))
+    media = spark.read.parquet(_media_oracle_parquet())
     dec = resize_plan(decode_media(media), max_dim=256)
     return dec.select(
         "media_ref", "kind", "width", "height", "duration_ms", "n_frames",
@@ -1365,29 +1470,102 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mm_decode_oracle_sql() -> str:
+    """FakeCodec header mirror: magic 'FAKE' (hex 46414B45), then four
+    big-endian uint32s at byte offsets 5/9/13/17 (hex char offsets
+    11/19/27/35), parsed via ('0x' || hex-slice)::BIGINT; resize plan
+    mirrored natively."""
+    p = _media_oracle_parquet()
+    return f"""
+WITH m AS (
+  SELECT media_ref, kind, hex(payload) AS h, octet_length(payload) AS n
+  FROM read_parquet('{p}')
+),
+dec AS (
+  SELECT media_ref, kind, n,
+         (n >= 21 AND substring(h, 1, 8) = '46414B45') AS ok,
+         CASE WHEN n >= 21 AND substring(h, 1, 8) = '46414B45'
+              THEN ('0x' || substring(h, 11, 8))::BIGINT END AS w,
+         CASE WHEN n >= 21 AND substring(h, 1, 8) = '46414B45'
+              THEN ('0x' || substring(h, 19, 8))::BIGINT END AS ht,
+         CASE WHEN n >= 21 AND substring(h, 1, 8) = '46414B45'
+              THEN ('0x' || substring(h, 27, 8))::BIGINT END AS dur,
+         CASE WHEN n >= 21 AND substring(h, 1, 8) = '46414B45'
+              THEN ('0x' || substring(h, 35, 8))::BIGINT END AS nf
+  FROM m
+)
+SELECT media_ref, kind,
+       CAST(w AS INT) AS width,
+       CAST(ht AS INT) AS height,
+       CAST(dur AS INT) AS duration_ms,
+       CAST(nf AS INT) AS n_frames,
+       CAST(CASE WHEN greatest(w, ht) > 256
+                 THEN round(w * (256.0 / greatest(w, ht)))
+                 ELSE round(w * 1.0) END AS INT) AS target_width,
+       CAST(CASE WHEN greatest(w, ht) > 256
+                 THEN round(ht * (256.0 / greatest(w, ht)))
+                 ELSE round(ht * 1.0) END AS INT) AS target_height,
+       CAST(n AS BIGINT) AS payload_bytes,
+       ok AS decoded_ok
+FROM dec
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-histogram features per payload + cosine self-similarity of
-    the first feature vector against the rest (rows-only)."""
+    """Byte-histogram feature extraction, driver-oracled on its
+    integer-exact facets: vector width, dominant histogram bin (numpy
+    argmax ≡ first-max), and nonzero-bin count. The DuckDB oracle
+    recomputes the 64-bin byte histogram from the raw blob bytes
+    (hex-sliced), fully independent of the numpy path."""
     from pyspark.sql import functions as F2
 
-    from web_crawler_spark.fixtures.media import generate_media
     from web_crawler_spark.operators.multimodal import extract_features
 
-    media = spark.createDataFrame(generate_media(n=60))
+    media = spark.read.parquet(_media_oracle_parquet())
     feats = extract_features(media, bins=64)
     return feats.select(
         "media_ref",
         "kind",
-        F2.size("features").alias("n_dims"),
-        F2.round(
-            F2.aggregate(
-                F2.transform("features", lambda x: x * x),
-                F2.lit(0.0),
-                lambda a, v: a + v,
-            ),
-            4,
-        ).alias("l2_norm_sq"),
+        F2.size("features").cast("long").alias("n_dims"),
+        (F2.array_position("features", F2.array_max("features")) - 1)
+        .cast("long")
+        .alias("dominant_bin"),
+        F2.size(F2.filter("features", lambda x: x > 0))
+        .cast("long")
+        .alias("n_nonzero"),
     )
+
+
+def _mm_features_oracle_sql() -> str:
+    p = _media_oracle_parquet()
+    return f"""
+WITH m AS (
+  SELECT media_ref, kind, hex(payload) AS h, octet_length(payload) AS n
+  FROM read_parquet('{p}')
+),
+b AS (
+  SELECT media_ref, kind,
+         unnest(range(0, n)) AS i, h
+  FROM m
+),
+bins AS (
+  SELECT media_ref, kind,
+         ('0x' || substring(h, CAST(2 * i + 1 AS INT), 2))::INT // 4 AS bin
+  FROM b
+),
+cnt AS (SELECT media_ref, kind, bin, count(*) AS c FROM bins GROUP BY ALL),
+top AS (
+  SELECT media_ref, kind, bin, c,
+         row_number() OVER (PARTITION BY media_ref ORDER BY c DESC, bin ASC) AS rk,
+         count(*) OVER (PARTITION BY media_ref) AS nz
+  FROM cnt
+)
+SELECT media_ref, kind,
+       CAST(64 AS BIGINT) AS n_dims,
+       CAST(bin AS BIGINT) AS dominant_bin,
+       CAST(nz AS BIGINT) AS n_nonzero
+FROM top WHERE rk = 1
+"""
 
 
 def q_crawl_routing_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1405,8 +1583,12 @@ def q_crawl_routing_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_x1_parse_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1 parse showcase: fixture HTML → interleaved span arrays via
-    the vectorized parser (rows-only; span equality is pytest-gated)."""
+    """X1 parse, driver-oracled on the BASELINE.json input_hint per-row
+    invariant: span-sequence equality (kind, text, media_ref, order).
+    The Spark side parses HTML distributed (Arrow UDF → posexplode to
+    one row per span); the oracle scans the pure-Python span parse
+    pre-materialized to parquet at oracle-build time (the same
+    mechanism crawl_visits uses for its BFS oracle)."""
     from web_crawler_spark.fixtures.webgraph import WebGraphConfig, generate_pages
     from web_crawler_spark.functions.html import extract_spans_udf
 
@@ -1417,10 +1599,47 @@ def q_x1_parse_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("url"),
         extract_spans_udf(F.col("html"), F.col("url")).alias("spans"),
     )
-    return parsed.select(
+    s = parsed.select("url", F.posexplode("spans").alias("idx", "s"))
+    return s.select(
         "url",
-        F.size("spans").alias("n_spans"),
-        F.sha2(F.to_json("spans"), 256).alias("spans_hash"),
+        F.col("idx").cast("long").alias("idx"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").cast("long").alias("offset"),
+    )
+
+
+def _x1_oracle_sql() -> str:
+    """Pre-materialize the pure-Python span oracle (oracle/htmlspans
+    driven row-by-row on the driver — no Spark) for the same fixture
+    pages, then scan it."""
+    import pandas as pd
+
+    from web_crawler_spark.fixtures.webgraph import WebGraphConfig, generate_pages
+    from web_crawler_spark.oracle.htmlspans import extract_spans
+
+    os.makedirs(_VISITS_ORACLE_DIR, exist_ok=True)
+    p = os.path.join(_VISITS_ORACLE_DIR, "x1_spans.parquet")
+    pages = generate_pages(WebGraphConfig(hosts=1, pages_per_host=8, seed=42))
+    rows = []
+    for u, h in zip(pages["url"], pages["html"]):
+        spans = extract_spans(h, u) if isinstance(h, str) and h else []
+        for i, sp in enumerate(spans):
+            rows.append(
+                {
+                    "url": u,
+                    "idx": i,
+                    "kind": sp["kind"],
+                    "text": sp["text"],
+                    "media_ref": sp["media_ref"],
+                    "offset": sp["offset"],
+                }
+            )
+    pd.DataFrame(rows).to_parquet(p, index=False)
+    return (
+        "SELECT url, CAST(idx AS BIGINT) AS idx, kind, text, media_ref, "
+        f"CAST(\"offset\" AS BIGINT) AS \"offset\" FROM read_parquet('{p}')"
     )
 
 
@@ -1492,14 +1711,17 @@ ORACLES: dict[str, str] = {
     "crawl_documents": _documents_oracle_sql(),
     "crawl_blocked_report": _blocked_oracle_sql(),
     "a3_classification": _a3_oracle_sql(),
+    "x1_parse_spans": _x1_oracle_sql(),
+    "multimodal_decode": _mm_decode_oracle_sql(),
+    "multimodal_features": _mm_features_oracle_sql(),
     "so5_rule_chain": ORACLE_SO5_RULES,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "text_quality": ORACLE_TEXT_QUALITY,
     "ann_brute_force_topk": ORACLE_ANN,
+    "compare_observations": ORACLE_COMPARE,
     # no oracle (rows-only, by design): dedup_minhash_lsh, dedup_simhash,
     # dedup_embedding_lsh, ann_lsh_topk, ann_ivf_topk (approximate /
-    # signature UDFs not SQL-expressible), x1_parse_spans (HTML parse),
-    # multimodal_*, compare_observations (engine COMPARE pipeline);
-    # pytest gates their semantics against pure-Python oracles instead
+    # signature UDFs not SQL-expressible); pytest gates their semantics
+    # against pure-Python oracles instead
 }
