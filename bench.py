@@ -75,11 +75,27 @@ def main() -> None:
             F.count("*")
         ).collect()
 
+    # median-of-N with per-run samples: host load on this shared VM
+    # drifts in epochs (±15% on identical code — BENCH.md §3), so a
+    # single-shot reading is not a gate. Sample 1 is the cold run;
+    # the JSON carries every sample so cold-vs-warm stays visible.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+    def med(xs: list[float]) -> float:
+        s = sorted(xs)
+        return s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        materialize(QUERIES[name](spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(repeats):
+            t0 = time.time()
+            materialize(QUERIES[name](spark, SF_DIR))
+            runs.append(round(time.time() - t0, 3))
+        spark.catalog.clearCache()  # drop leaked persist() barriers
+        samples[name] = runs
+        timings[name] = round(med(runs), 3)
 
     # crawl engine end-to-end (fixture web; measures the round pipeline)
     from web_crawler_spark.engine.crawl import CrawlConfig, CrawlEngine
@@ -95,11 +111,19 @@ def main() -> None:
     cfg = WebGraphConfig(hosts=4, pages_per_host=200, seed=42)
     pages = spark.createDataFrame(generate_pages(cfg))
     sites = spark.createDataFrame(generate_sites(cfg))
-    state = f"/tmp/wcs_bench_{os.getpid()}"
-    eng = CrawlEngine(spark, pages, sites, config=CrawlConfig(state_dir=state))
-    t0 = time.time()
-    stats = eng.run(fresh=True)
-    crawl_s = time.time() - t0
+    crawl_runs: list[float] = []
+    stats = None
+    for i in range(repeats):
+        state = f"/tmp/wcs_bench_{os.getpid()}_{i}"
+        eng = CrawlEngine(
+            spark, pages, sites, config=CrawlConfig(state_dir=state)
+        )
+        t0 = time.time()
+        stats = eng.run(fresh=True)
+        crawl_runs.append(round(time.time() - t0, 3))
+        spark.catalog.clearCache()
+    samples["crawl_end_to_end"] = crawl_runs
+    crawl_s = med(crawl_runs)
     timings["crawl_end_to_end"] = round(crawl_s, 3)
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1
@@ -117,6 +141,8 @@ def main() -> None:
                     "crawl_rounds": stats.rounds,
                     "crawl_urls_per_sec": round(stats.total_visits / crawl_s, 3),
                     "cpus": int(CPUS),
+                    "repeats": repeats,
+                    "samples": samples,
                 },
             }
         )
