@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from web_crawler_spark.operators.seen import (
     BroadcastBloom,
     ShardedBloom,
+    ShardStore,
     anti_join_seen,
 )
 
@@ -84,6 +85,78 @@ def test_anti_join_parity_sharded_vs_flat_vs_none(spark):
     r_none, r_flat, r_shard = result(None), result(flat), result(sharded)
     assert len(r_none) == 700
     assert r_none == r_flat == r_shard
+
+
+def test_shard_store_parity_and_single_shard_per_task(spark, tmp_path):
+    """The cluster path (ShardStore): membership through the saved
+    store must equal the in-memory sharded filter, anti_join_seen
+    through the store must equal the exact join, and — the scale
+    claim — a task processing one host_bucket group touches EXACTLY
+    one shard's bytes (its own), never the whole filter."""
+    seen = _keys_df(spark, 2000, "seen").withColumn("siteid", F.lit(1))
+    overlap = _keys_df(spark, 500, "seen").withColumn("siteid", F.lit(1))
+    fresh = _keys_df(spark, 700, "fresh").withColumn("siteid", F.lit(1))
+    cands = overlap.unionByName(fresh)
+
+    sb = ShardedBloom.empty(2000, fpp=0.01, num_shards=4)
+    sb.add_keys(seen, "url_key", "host_bucket")
+    store = sb.save(str(tmp_path / "bloom_store"))
+    assert store.num_shards == 4 and store.approx_items == 2000
+
+    # membership parity: store-backed UDF ≡ closure-broadcast UDF
+    probes = cands.select(
+        "url_key", "host_bucket", *BroadcastBloom.hash_cols("url_key")
+    )
+    mem = probes.withColumn(
+        "m_mem",
+        sb.maybe_seen_udf()(
+            sb._shard_col("host_bucket"), F.col("_bh1"), F.col("_bh2")
+        ),
+    ).withColumn(
+        "m_store",
+        store.maybe_seen_udf()(
+            store._shard_col("host_bucket"), F.col("_bh1"), F.col("_bh2")
+        ),
+    ).toPandas()
+    assert (mem["m_mem"] == mem["m_store"]).all()
+
+    # anti-join parity through the store
+    out = anti_join_seen(cands, seen, ["siteid", "url_key"], store)
+    assert sorted(r["url_key"] for r in out.collect()) == sorted(
+        r["url_key"] for r in fresh.collect()
+    )
+
+    # per-task shard-touch invariant: one host_bucket group = one task
+    # (applyInPandas) = exactly one shard file read
+    store_dir, nb, nh = store.store_dir, store.num_bits, store.num_hashes
+
+    def diag(key, pdf):
+        _, touched = ShardStore.probe_shards(
+            store_dir,
+            nb,
+            nh,
+            (pdf["host_bucket"] % 4).to_numpy(),
+            pdf["_bh1"].to_numpy(),
+            pdf["_bh2"].to_numpy(),
+        )
+        return pd.DataFrame(
+            {
+                "host_bucket": [int(key[0])],
+                "n_touched": [len(touched)],
+                "shards": [",".join(map(str, sorted(touched)))],
+            }
+        )
+
+    d = (
+        probes.groupBy("host_bucket")
+        .applyInPandas(diag, "host_bucket long, n_touched int, shards string")
+        .toPandas()
+    )
+    assert len(d) == 8  # 8 host buckets in the fixture
+    assert (d["n_touched"] == 1).all()
+    assert (
+        d["shards"].astype(int) == (d["host_bucket"] % 4)
+    ).all()  # and it is exactly the partition's own shard
 
 
 @pytest.mark.slow

@@ -104,6 +104,11 @@ class CrawlConfig:
     # a single filter is a multi-GB broadcast (12 GB → ~190 MB/shard at
     # 64 shards; see operators/seen.py)
     bloom_shards: int = 1
+    # sharded probes go through a ShardStore saved under state_dir:
+    # each task mmap-loads ONLY its partition's shard instead of
+    # receiving the whole filter in the UDF closure (the cluster
+    # path; False = closure-broadcast, local-mode shortcut)
+    bloom_store: bool = True
     use_bloom_min_seen: int = 50_000  # below this, plain anti-join is cheaper
     rank_small_threshold: int = 100_000
     respect_robots: bool = False
@@ -180,6 +185,9 @@ class CrawlEngine:
             else None
         )
         self.bloom: BroadcastBloom | ShardedBloom | None = None
+        self._bloom_epoch = 0
+        self._bloom_dirty = False
+        self._bloom_probe_view = None
         self._fetcher = fetcher
         self._seed_probes = seed_probes
 
@@ -222,6 +230,40 @@ class CrawlEngine:
             )
         else:
             self.bloom.add_keys(df.select("url_key"), "url_key")
+        self._bloom_dirty = True
+
+    def _bloom_probe(self):
+        """The membership object the round's anti-join probes.
+
+        Sharded + bloom_store: publish the mutated shards to a fresh
+        store epoch (one .npy per shard under state_dir) and return the
+        ShardStore — each task then mmap-loads only its partition's
+        shard, never the whole filter (the 10^10-key cluster path).
+        The previous epoch dir is removed; already-mmapped readers on
+        POSIX keep their unlinked inode, and the new plan binds the new
+        path so no probe can read a stale bitmap."""
+        if not (
+            isinstance(self.bloom, ShardedBloom) and self.cfg.bloom_store
+        ):
+            return self.bloom
+        if self._bloom_dirty or self._bloom_probe_view is None:
+            self._bloom_epoch += 1
+            store = self.bloom.save(
+                os.path.join(
+                    self.cfg.state_dir,
+                    "bloom_store",
+                    f"epoch_{self._bloom_epoch}",
+                )
+            )
+            # keep exactly one previous epoch alive: the prior round's
+            # persisted frames may still recompute against its path
+            old = getattr(self, "_bloom_prev_view", None)
+            if old is not None:
+                old.destroy()
+            self._bloom_prev_view = self._bloom_probe_view
+            self._bloom_probe_view = store
+            self._bloom_dirty = False
+        return self._bloom_probe_view
 
     # ------------------------------------------------------------------
     # state-table helpers (parquet snapshots; Iceberg MERGE in production)
@@ -670,7 +712,7 @@ class CrawlEngine:
                     new_links = definite.unionByName(suspects)
                 else:
                     new_links = anti_join_seen(
-                        new_links, seen, ["siteid", "url_key"], self.bloom
+                        new_links, seen, ["siteid", "url_key"], self._bloom_probe()
                     )
                 # politeness off ⇒ dequeue_batch defers nothing; skip the
                 # union and the seen-side anti-join below entirely

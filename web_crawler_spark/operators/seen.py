@@ -18,15 +18,21 @@ bloom would be ~12 GB: the scale-out path is `ShardedBloom` — the
 filter is split into `num_shards` independent blooms keyed by
 host_bucket (12 GB → ~190 MB/shard at 64 shards). Because the frontier
 and seen tables are already hash-partitioned by host_bucket, every
-executor task only ever consults ONE shard; local mode broadcasts the
-shard list whole, but the cluster path ships shard s only to the tasks
-of partition s (torrent-broadcast per shard, or a shard store read in
-`mapInPandas` keyed by the partition's bucket).
+executor task only ever consults ONE shard. `ShardedBloom.save()` +
+`ShardStore` implement that cluster path: shard bitmaps live as one
+.npy per shard on the shared FS, the membership UDF's closure carries
+only the directory path, and each task lazily mmap-loads exactly the
+shards its rows reference (tests assert the per-task touch list).
+`ShardedBloom.maybe_seen_udf` remains the closure-broadcast local-mode
+variant.
 """
 
 from __future__ import annotations
 
+import json
 import math
+import os
+import shutil
 
 import numpy as np
 import pandas as pd
@@ -203,8 +209,35 @@ class ShardedBloom:
             tgt.words |= np.frombuffer(row["words"], dtype=np.uint64)
             tgt.approx_items += row["n"]
 
+    def save(self, store_dir: str) -> "ShardStore":
+        """Write every shard bitmap to ``store_dir`` (one .npy per
+        shard + meta.json) and return the ShardStore view — the
+        cluster membership path where a task reads ONLY its own
+        shard's bytes instead of receiving the whole filter. On a real
+        cluster ``store_dir`` is the shared FS (HDFS/S3/NFS); the
+        write is one pass over num_shards files."""
+        os.makedirs(store_dir, exist_ok=True)
+        for s, f in enumerate(self.shards):
+            np.save(os.path.join(store_dir, f"shard_{s}.npy"), f.words)
+        meta = {
+            "num_shards": self.num_shards,
+            "num_bits": self.shards[0].num_bits,
+            "num_hashes": self.shards[0].num_hashes,
+            "approx_items": self.approx_items,
+        }
+        with open(os.path.join(store_dir, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
+        return ShardStore(store_dir)
+
     def maybe_seen_udf(self):
-        """Vectorized membership over (shard, h1, h2) columns."""
+        """Vectorized membership over (shard, h1, h2) columns.
+
+        LOCAL-MODE path: captures every shard in the closure, so each
+        Python worker holds the full filter — fine in one JVM, wrong
+        at 10^10 keys (12 GB per executor). The cluster path is
+        ``save()`` + ``ShardStore.maybe_seen_udf()``: the closure
+        carries only a directory path and each task mmap-loads the one
+        shard its partition references."""
         num_bits = self.shards[0].num_bits
         num_hashes = self.shards[0].num_hashes
         words = [s.words for s in self.shards]
@@ -229,11 +262,113 @@ class ShardedBloom:
         return maybe_seen
 
 
+# process-level shard cache: Python workers are reused across tasks
+# (spark.python.worker.reuse), so a shard file is mmapped once per
+# worker process and the OS page cache shares the bytes machine-wide.
+# Keyed by absolute file path — a new store epoch (new directory) is a
+# new key, so stale bitmaps can never serve a newer probe.
+_SHARD_CACHE: dict[str, np.ndarray] = {}
+
+
+def _load_shard_words(path: str) -> np.ndarray:
+    w = _SHARD_CACHE.get(path)
+    if w is None:
+        # mmap: only the bitmap pages a probe touches are faulted in;
+        # a 190 MB shard never fully loads for a few-thousand-row task
+        w = np.load(path, mmap_mode="r")
+        _SHARD_CACHE[path] = w
+    return w
+
+
+class ShardStore:
+    """Shard-per-file bloom membership — the 10^10-key cluster path.
+
+    ``ShardedBloom.maybe_seen_udf`` captures all shards in the UDF
+    closure: every executor receives the FULL filter (12 GB at 10^10
+    keys / 1% fpp). This store instead publishes one .npy per shard on
+    the shared FS; the membership UDF's closure carries only the
+    directory path, and each task lazily mmap-loads exactly the shards
+    its rows reference — ONE shard (~190 MB at 64 shards) when the
+    frame is partitioned by the shard key, which the engine's
+    host_bucket-partitioned frontier already guarantees.
+
+    FP-safe identically to the in-memory forms: positives go to the
+    exact anti-join, negatives are guaranteed-new.
+    """
+
+    def __init__(self, store_dir: str):
+        with open(os.path.join(store_dir, "meta.json")) as fh:
+            meta = json.load(fh)
+        self.store_dir = store_dir
+        self.num_shards = int(meta["num_shards"])
+        self.num_bits = int(meta["num_bits"])
+        self.num_hashes = int(meta["num_hashes"])
+        self.approx_items = int(meta["approx_items"])
+
+    def _shard_col(self, shard_col: str):
+        return (
+            F.pmod(F.col(shard_col).cast("long"), F.lit(self.num_shards))
+            .cast("int")
+            .alias("_bshard")
+        )
+
+    @staticmethod
+    def probe_shards(
+        store_dir: str,
+        num_bits: int,
+        num_hashes: int,
+        sv: np.ndarray,
+        h1: np.ndarray,
+        h2: np.ndarray,
+    ) -> tuple[np.ndarray, list[int]]:
+        """Membership for (shard, h1, h2) arrays reading only the
+        referenced shard files. Returns (bool array, shards loaded) —
+        the second element is the per-task touch list the scale claim
+        rests on (and the thing tests assert)."""
+        out = np.zeros(len(sv), dtype=bool)
+        touched: list[int] = []
+        for s in np.unique(sv):
+            path = os.path.join(store_dir, f"shard_{int(s)}.npy")
+            f = BroadcastBloom(num_bits, num_hashes)
+            f.words = _load_shard_words(path)
+            touched.append(int(s))
+            idx = sv == s
+            out[idx] = f.contains_hashes(h1[idx], h2[idx])
+        return out, touched
+
+    def maybe_seen_udf(self):
+        """Vectorized membership over (shard, h1, h2) columns; closure
+        ships only (path, sizes) — never bitmap bytes."""
+        store_dir = self.store_dir
+        num_bits, num_hashes = self.num_bits, self.num_hashes
+
+        @F.pandas_udf(BooleanType())
+        def maybe_seen(
+            shard: pd.Series, h1: pd.Series, h2: pd.Series
+        ) -> pd.Series:
+            if not len(shard):
+                return pd.Series([], dtype=bool)
+            out, _ = ShardStore.probe_shards(
+                store_dir,
+                num_bits,
+                num_hashes,
+                shard.to_numpy(),
+                h1.to_numpy(),
+                h2.to_numpy(),
+            )
+            return pd.Series(out)
+
+        return maybe_seen
+
+    def destroy(self) -> None:
+        shutil.rmtree(self.store_dir, ignore_errors=True)
+
+
 def anti_join_seen(
     candidates: DataFrame,
     seen: DataFrame,
     key_cols: list[str],
-    bloom: "BroadcastBloom | ShardedBloom | None" = None,
+    bloom: "BroadcastBloom | ShardedBloom | ShardStore | None" = None,
     bloom_col: str = "url_key",
     shard_col: str = "host_bucket",
 ) -> DataFrame:
@@ -247,7 +382,7 @@ def anti_join_seen(
     # persist: both branches below reference this plan — without the
     # barrier the ENTIRE upstream candidate pipeline executes twice
     with_h = candidates.select("*", *BroadcastBloom.hash_cols(bloom_col))
-    if isinstance(bloom, ShardedBloom):
+    if isinstance(bloom, (ShardedBloom, ShardStore)):
         with_h = with_h.withColumn(
             "_maybe",
             bloom.maybe_seen_udf()(
