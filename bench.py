@@ -108,6 +108,19 @@ def main() -> None:
     # big enough that rounds amortize the per-round commit cost: ~1000
     # URLs over ~10 BFS rounds (incl. the www-alias mirror of host 0
     # and every fetch-failure mode)
+    # crawl-path warmup (mirrors the query warmup above): a 1-host
+    # micro-crawl compiles the round's codegen/exchange paths and
+    # initializes the parquet committer, so the timed samples measure
+    # the round pipeline, not first-touch JVM costs (~+12s on sample 1
+    # otherwise; all raw samples are still reported)
+    wcfg = WebGraphConfig(hosts=1, pages_per_host=6, seed=7)
+    CrawlEngine(
+        spark,
+        spark.createDataFrame(generate_pages(wcfg)),
+        spark.createDataFrame(generate_sites(wcfg)),
+        config=CrawlConfig(state_dir=f"/tmp/wcs_bench_warm_{os.getpid()}"),
+    ).run(fresh=True)
+
     cfg = WebGraphConfig(hosts=4, pages_per_host=200, seed=42)
     pages = spark.createDataFrame(generate_pages(cfg))
     sites = spark.createDataFrame(generate_sites(cfg))

@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DATA_DIR = "/tmp/wcs_scaling_input"
+MINHASH_DIR = "/tmp/wcs_scaling_minhash"
 
 
 def prepare_input(pages_n: int, hosts: int) -> None:
@@ -78,6 +79,69 @@ def prepare_input(pages_n: int, hosts: int) -> None:
     ).write.mode("overwrite").parquet(f"{DATA_DIR}/seen")
     open(marker, "w").close()
     spark.stop()
+
+
+def prepare_minhash_input(n_docs: int) -> None:
+    """Deterministic synthetic document corpus for the minhash-LSH
+    scaling job (~testdata `documents` statistics: small vocab,
+    80-300 words/doc, ~2% near-dup pairs so the band join has real
+    positives). Generated distributed via mapInPandas — text is a pure
+    function of doc_id, so the corpus is seed-stable."""
+    import numpy as np
+
+    from web_crawler_spark.session import get_spark
+
+    marker = os.path.join(MINHASH_DIR, f"_OK_{n_docs}")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(MINHASH_DIR, ignore_errors=True)
+    spark = get_spark("minhash_prep", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    vocab = [
+        "key", "agg", "row", "scan", "slow", "fast", "table", "value",
+        "part", "hash", "merge", "batch", "spark", "query", "line",
+        "sort", "window", "filter", "group", "stream", "join", "small",
+        "big", "column", "data", "order", "customer", "the", "a", "of",
+        "and", "to", "in", "for", "on", "with", "crawl", "fetch",
+        "frontier", "seen",
+    ]
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            texts = []
+            for i in ids:
+                is_dup = i % 50 == 1
+                base = i - 1 if is_dup else i
+                rng = np.random.RandomState(int(base) & 0x7FFFFFFF)
+                words = rng.choice(vocab, size=rng.randint(80, 300))
+                t = " ".join(words)
+                if is_dup:
+                    t += " zz" + str(int(i))  # near-dup, not exact
+                texts.append(t)
+            yield pd.DataFrame({"doc_id": ids, "text": texts})
+
+    spark.range(0, n_docs, 1, 64).mapInPandas(
+        gen, "doc_id long, text string"
+    ).write.mode("overwrite").parquet(f"{MINHASH_DIR}/documents")
+    open(marker, "w").close()
+    spark.stop()
+
+
+def run_minhash(spark: SparkSession) -> tuple[int, float]:
+    """The flagship LLM-pipeline dedup tier end-to-end, exactly the
+    registered q_dedup_minhash shape: signature UDF → banded bucket
+    self-join → pair dedupe → signature-agreement verify → noop."""
+    from web_crawler_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{MINHASH_DIR}/documents")
+    n = docs.count()
+    t0 = time.time()
+    minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=64, bands=16, shingle_k=5,
+        threshold=0.5,
+    ).write.format("noop").mode("overwrite").save()
+    return n, time.time() - t0
 
 
 def run_round(spark: SparkSession) -> tuple[int, float]:
@@ -160,7 +224,7 @@ def run_round(spark: SparkSession) -> tuple[int, float]:
     return n_frontier, dt
 
 
-def hw_control(spark: SparkSession) -> float:
+def hw_control(spark: SparkSession, job: str = "crawl") -> float:
     """Hardware memory-bandwidth control: a trivially-parallel,
     shuffle-free, pure-JVM streaming scan (regex over every page body).
     Its scaling across pinned core counts measures what the shared
@@ -170,14 +234,19 @@ def hw_control(spark: SparkSession) -> float:
     this box (2→8 pinned cores) while this bandwidth-bound control
     scales ~0.77, because all cores share one memory system; on a real
     cluster, memory bandwidth scales WITH executor count."""
+    path, col = (
+        (f"{DATA_DIR}/pages", "html")
+        if job == "crawl"
+        else (f"{MINHASH_DIR}/documents", "text")
+    )
     t0 = time.time()
-    spark.read.parquet(f"{DATA_DIR}/pages").select(
-        F.sum(F.length(F.regexp_replace("html", "<[^>]+>", "")))
+    spark.read.parquet(path).select(
+        F.sum(F.length(F.regexp_replace(col, "<[^>]+>", "")))
     ).collect()
     return time.time() - t0
 
 
-def _warmup(spark: SparkSession) -> None:
+def _warmup(spark: SparkSession, job: str = "crawl") -> None:
     """Spin up Python workers + Arrow + JIT, and fault the ENTIRE input
     into the OS page cache — first-touch parquet reads come off virtio
     disk and would otherwise dominate the first timed run (measured
@@ -189,12 +258,17 @@ def _warmup(spark: SparkSession) -> None:
     spark.range(0, 100_000, 1, 64).select(
         F.sum(_noop(F.col("id")))
     ).collect()
+    if job == "minhash":
+        spark.read.parquet(f"{MINHASH_DIR}/documents").select(
+            F.sum(F.length("text"))
+        ).collect()
+        return
     for t, col in (("pages", F.length("html")), ("frontier", F.lit(1)),
                    ("seen", F.lit(1))):
         spark.read.parquet(f"{DATA_DIR}/{t}").select(F.sum(col)).collect()
 
 
-def run_single(cores: int, trials: int = 1) -> dict:
+def run_single(cores: int, trials: int = 1, job: str = "crawl") -> dict:
     """Best-of-N wall time: with inputs page-cached, residual variance
     is scheduler jitter; min is the standard throughput estimator."""
     from web_crawler_spark.session import get_spark
@@ -207,11 +281,12 @@ def run_single(cores: int, trials: int = 1) -> dict:
         shuffle_partitions=4 * cores,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    _warmup(spark)
-    ctrl = min(hw_control(spark) for _ in range(3))
+    _warmup(spark, job)
+    ctrl = min(hw_control(spark, job) for _ in range(3))
+    run_job = run_minhash if job == "minhash" else run_round
     best = None
     for _ in range(trials):
-        n, dt = run_round(spark)
+        n, dt = run_job(spark)
         best = dt if best is None else min(best, dt)
     spark.stop()
     return {"urls": n, "sec": round(best, 2),
@@ -229,6 +304,13 @@ def main() -> None:
     ap.add_argument("--levels", type=str, default="2,8")
     ap.add_argument("--single", type=int, default=0)
     ap.add_argument("--trials", type=int, default=1)
+    # job: "crawl" = one engine round over the big frontier (default);
+    # "minhash" = the flagship LLM-pipeline dedup tier end-to-end
+    # (signature UDF → banded bucket join → verify) over a synthetic
+    # document corpus — same pair-ratio protocol
+    ap.add_argument("--job", type=str, default="crawl",
+                    choices=("crawl", "minhash"))
+    ap.add_argument("--docs", type=int, default=120_000)
     # interleave level trials (4,16,4,16,...) so host-load epochs on the
     # shared VM hit both levels equally; per-level min is reported
     ap.add_argument("--repeat", type=int, default=2)
@@ -242,10 +324,16 @@ def main() -> None:
 
     if args.single:
         # child mode: one parallelism level in a fresh JVM
-        print("RESULT " + json.dumps(run_single(args.single, args.trials)))
+        print(
+            "RESULT "
+            + json.dumps(run_single(args.single, args.trials, args.job))
+        )
         return
 
-    prepare_input(args.pages, args.hosts)
+    if args.job == "minhash":
+        prepare_minhash_input(args.docs)
+    else:
+        prepare_input(args.pages, args.hosts)
     os.environ["WCS_SCALING_HOSTS"] = str(args.hosts)  # children inherit
     levels_list = [int(c) for c in args.levels.split(",")]
     pin = shutil.which("taskset") is not None
@@ -260,7 +348,8 @@ def main() -> None:
     for _ in range(args.repeat):
         for cores in levels_list:
             cmd = [sys.executable, os.path.abspath(__file__),
-                   "--single", str(cores), "--trials", "1"]
+                   "--single", str(cores), "--trials", "1",
+                   "--job", args.job]
             if pin:
                 cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
             proc = subprocess.run(
@@ -283,14 +372,19 @@ def main() -> None:
     ]
     eff = statistics.median(pair_effs)
     out = {
-        "metric": "crawl_round_urls_per_sec",
+        "metric": (
+            "crawl_round_urls_per_sec"
+            if args.job == "crawl"
+            else "minhash_lsh_docs_per_sec"
+        ),
         "levels": results,
         "samples_sec": {c: [r["sec"] for r in samples[c]] for c in levels},
         "pair_efficiencies": pair_effs,
         "scaling_efficiency": round(eff, 3),
         "criterion": ">=0.8 from N to 4N (north rule); "
                      "median of same-epoch pair ratios",
-        "pages": args.pages,
+        "pages": args.pages if args.job == "crawl" else None,
+        "docs": args.docs if args.job == "minhash" else None,
         "pinned": pin,
     }
     ctrl_pairs = [

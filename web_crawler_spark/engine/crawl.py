@@ -273,10 +273,22 @@ class CrawlEngine:
         return base if rnd is None else os.path.join(base, f"round={rnd}")
 
     def _write(self, df: DataFrame, table: str, rnd: int) -> None:
+        # remember the table schema so every later per-round re-read
+        # skips footer schema inference at plan-build time (a blocking
+        # driver listing+read per round that profiling showed adds up)
+        schemas = getattr(self, "_table_schemas", None)
+        if schemas is None:
+            schemas = self._table_schemas = {}
+        schemas.setdefault(table, df.schema)
         df.write.mode("overwrite").parquet(self._p(table, rnd))
 
+    def _reader(self, table: str):
+        r = self.spark.read
+        schema = getattr(self, "_table_schemas", {}).get(table)
+        return r.schema(schema) if schema is not None else r
+
     def _read_round(self, table: str, rnd: int) -> DataFrame:
-        return self.spark.read.parquet(self._p(table, rnd))
+        return self._reader(table).parquet(self._p(table, rnd))
 
     def read_all(self, table: str) -> DataFrame:
         """All rounds of an append table (visits/documents/fetch_log/...)."""
@@ -286,7 +298,7 @@ class CrawlEngine:
             for d in os.listdir(base)
             if d.startswith("round=")
         )
-        return self.spark.read.option("basePath", base).parquet(*dirs)
+        return self._reader(table).option("basePath", base).parquet(*dirs)
 
     def _write_meta(self, rnd: int, total_visits: int) -> None:
         os.makedirs(self.cfg.state_dir, exist_ok=True)
@@ -580,28 +592,30 @@ class CrawlEngine:
                         fetch_parse_with_callback,
                     )
 
-                    fetched = (
-                        fetch_parse_with_callback(
-                            batch, self._fetcher, self.cfg.num_host_buckets,
-                            max_retries_429=MAX_RETRIES_429,
-                        )
-                        .withColumn("_success", success)
-                        .withColumn("_error", error)
-                        .withColumn("outlinks", outlinks_col)
+                    fetched = fetch_parse_with_callback(
+                        batch, self._fetcher, self.cfg.num_host_buckets,
+                        max_retries_429=MAX_RETRIES_429,
+                    ).withColumns(
+                        {"_success": success, "_error": error,
+                         "outlinks": outlinks_col}
                     )
                 else:
                     # fixture mode (synthetic pages table): parse in the
                     # join stage via the Column chain; failed / non-html
-                    # rows pass the UDF a NULL and cost nothing
+                    # rows pass the UDF a NULL and cost nothing.
+                    # withColumns batches independent columns into ONE
+                    # Project (one py4j trip, one analyzer node) — only
+                    # genuinely dependent columns add a projection level
                     fetched = (
                         batch.join(pages, batch.url_key == pages.url, "left")
                         .drop("url")
-                        .withColumn("_success", success)
-                        .withColumn("_error", error)
-                        .withColumn("spans1", spans1_col)
+                        .withColumns(
+                            {"_success": success, "_error": error,
+                             "spans1": spans1_col}
+                        )
                         .withColumn("_use_rendered", use_rendered_col)
-                        .withColumn("spans", spans_col)
-                        .withColumn("outlinks", outlinks_col)
+                        .withColumns({"spans": spans_col})
+                        .withColumns({"outlinks": outlinks_col})
                         .drop("spans1", "_use_rendered", "html", "rendered_html")
                     )
                 fetched.persist()

@@ -91,7 +91,12 @@ def normalize_fetch_url(
 
     path = parts.path or "/"
     if path != "/" and path.endswith("/"):
-        path = path.rstrip("/")
+        # `or "/"` deliberately diverges from the reference
+        # (normalizer.py:71-73) for the degenerate all-slash path
+        # ("host//" → ""): the reference emits "https://host" there but
+        # re-normalizing yields "https://host/" — a canonicalizer used
+        # as the dedup key must be idempotent (hypothesis-found)
+        path = path.rstrip("/") or "/"
 
     return urlunparse(("https", netloc, path, "", parts.query, ""))
 
