@@ -83,10 +83,17 @@ def prepare_input(pages_n: int, hosts: int) -> None:
 
 def prepare_minhash_input(n_docs: int) -> None:
     """Deterministic synthetic document corpus for the minhash-LSH
-    scaling job (~testdata `documents` statistics: small vocab,
-    80-300 words/doc, ~2% near-dup pairs so the band join has real
-    positives). Generated distributed via mapInPandas — text is a pure
-    function of doc_id, so the corpus is seed-stable."""
+    scaling job: 20k-word Zipf-sampled vocabulary, 80-300 words/doc,
+    ~2% near-dup pairs so the band join has real positives. Vocabulary
+    size matters: the signatures hash CHARACTER 5-shingles, and a
+    tiny-vocab corpus (the first attempt reused testdata's ~40 words)
+    saturates the shingle universe — every long doc contains nearly
+    every distinct shingle, all signatures converge, every band bucket
+    holds the whole corpus and the candidate join goes quadratic
+    (observed: one local[2] leg burned 65 CPU-minutes in the verify
+    condition). Web-scale text has heavy-tailed vocabulary; so does
+    this generator. Text is a pure function of doc_id (seed-stable),
+    generated distributed via mapInPandas."""
     import numpy as np
 
     from web_crawler_spark.session import get_spark
@@ -97,16 +104,15 @@ def prepare_minhash_input(n_docs: int) -> None:
     shutil.rmtree(MINHASH_DIR, ignore_errors=True)
     spark = get_spark("minhash_prep", master="local[32]", shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
-    vocab = [
-        "key", "agg", "row", "scan", "slow", "fast", "table", "value",
-        "part", "hash", "merge", "batch", "spark", "query", "line",
-        "sort", "window", "filter", "group", "stream", "join", "small",
-        "big", "column", "data", "order", "customer", "the", "a", "of",
-        "and", "to", "in", "for", "on", "with", "crawl", "fetch",
-        "frontier", "seen",
-    ]
 
     def gen(batches):
+        # 30% Zipf head + 70% uniform tail over a 20k-word vocab; word
+        # k is spelled from its rank so shingle bytes vary across the
+        # whole vocabulary. Calibrated offline: random-pair shingle
+        # J ≈ 0.045, band-collision ≈ 8e-5 → ~6e5 random candidates at
+        # 120k docs (≈5/doc) on top of the ~2.4k planted dups — a
+        # realistic LSH verify load, quadratic in nothing
+        vsize = 20_000
         for pdf in batches:
             ids = pdf["id"].to_numpy()
             texts = []
@@ -114,8 +120,16 @@ def prepare_minhash_input(n_docs: int) -> None:
                 is_dup = i % 50 == 1
                 base = i - 1 if is_dup else i
                 rng = np.random.RandomState(int(base) & 0x7FFFFFFF)
-                words = rng.choice(vocab, size=rng.randint(80, 300))
-                t = " ".join(words)
+                n = rng.randint(80, 300)
+                nz = int(n * 0.3)
+                ranks = np.concatenate(
+                    [
+                        np.minimum(rng.zipf(1.3, size=nz) - 1, vsize - 1),
+                        rng.randint(0, vsize, size=n - nz),
+                    ]
+                )
+                rng.shuffle(ranks)
+                t = " ".join("w%x" % r for r in ranks)
                 if is_dup:
                     t += " zz" + str(int(i))  # near-dup, not exact
                 texts.append(t)

@@ -990,7 +990,14 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate top-5 (rows-only: approximate by
-    design; the 100 TB path where the cross product is impossible)."""
+    design; the 100 TB path where the cross product is impossible).
+
+    num_bits=16 (4-bit bands) is a deliberate RECALL choice for top-k
+    — unlike the near-dup pairs query, where 4-bit bands blow up the
+    candidate set (fixed in r3), a top-k probe needs moderate-cosine
+    neighbors to collide at all (P[4-bit band] ≈ (1-θ/π)^4 vs ^8).
+    Candidates here are bounded by queries × bucket occupancy, not
+    corpus²; at larger num_bits add multi-probe instead."""
     e = _t(spark, sf_dir, "embeddings")
     return lsh_topk(
         e, e.filter(F.col("vec_id") < 10), dim=64, k=5, num_bits=16, sim_round=4
