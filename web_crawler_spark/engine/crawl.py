@@ -461,6 +461,32 @@ class CrawlEngine:
         # disjoint directories; the frontier/seen commit stays ordered
         sink_pool = ThreadPoolExecutor(max_workers=4)
 
+        # Pipelined commits (deterministic mode): when lineage is
+        # deterministic (no HTTP fetcher), no rows are deferred, and no
+        # stateful filter needs the durable table mid-run, every parquet
+        # write is a pure CHECKPOINT — round r+1 can proceed from the
+        # persisted in-memory frames while round r's frontier/seen/sink
+        # files land in the background. The round-commit protocol is
+        # unchanged (meta r is written only after every round-r file is
+        # durable, by a single ordered committer thread, so crash
+        # recovery via _prune_orphan_rounds works exactly as before);
+        # only the WAITING moves off the critical path. Profiling at
+        # fixture scale put ~45% of round wall time inside blocking
+        # parquet commits of already-computed data.
+        no_defer = (
+            self.cfg.max_per_host_round is None and self._budgets is None
+        )
+        pipelined = (
+            self._fetcher is None
+            and no_defer
+            and self._filters is None
+            and not self.cfg.upsert_pages
+        )
+        commit_pool = ThreadPoolExecutor(max_workers=1)
+        commit_futs: list = []
+        prev_round: dict | None = None
+        frontier_rows = _parquet_rows(self._p("frontier", rnd))
+
         # loop-invariant Column expressions, built ONCE: every F.* call
         # is a py4j round trip, and profiling shows plan construction is
         # ~half of each round's wall time at fixture scale — unresolved
@@ -541,7 +567,11 @@ class CrawlEngine:
         try:
             while stats.rounds < self.cfg.max_rounds:
                 t_round = time.perf_counter()
-                frontier_count = _parquet_rows(self._p("frontier", stats.rounds))
+                frontier_count = (
+                    frontier_rows
+                    if pipelined
+                    else _parquet_rows(self._p("frontier", stats.rounds))
+                )
                 if frontier_count == 0:
                     break
                 r = stats.rounds + 1
@@ -618,17 +648,32 @@ class CrawlEngine:
                         .withColumns({"outlinks": outlinks_col})
                         .drop("spans1", "_use_rendered", "html", "rendered_html")
                     )
-                fetched.persist()
+                # cache registration runs the optimizer over the whole
+                # fetch+parse plan on the driver (~190 ms/round) — do it
+                # on a pool thread; every consumer joins the future
+                # before triggering execution, so the parse UDF still
+                # runs exactly once
+                fetched_fut = sink_pool.submit(lambda df=fetched: df.persist())
 
                 # -- sink: fetch_log (carries the visit columns too — one
                 # write instead of two; visits() is a projection view) ------
+                # The sink frames are CONSTRUCTED inside the pool tasks:
+                # each select/filter is a py4j round trip plus JVM-side
+                # analysis, and running them on the sink threads overlaps
+                # that driver latency with the round's compute job (py4j
+                # is multi-threaded; the closures only derive from the
+                # persisted fetched/parsed frames)
                 sink_futs = []
-                sink_futs.append(sink_pool.submit(
-                    self._write,
-                    fetched.select(*fetch_log_cols, F.lit(r).alias("round")),
-                    "fetch_log",
-                    r,
-                ))
+
+                def _write_fetch_log(r=r, df=fetched, fut=fetched_fut):
+                    fut.result()
+                    self._write(
+                        df.select(*fetch_log_cols, F.lit(r).alias("round")),
+                        "fetch_log",
+                        r,
+                    )
+
+                sink_futs.append(sink_pool.submit(_write_fetch_log))
 
                 # -- parsed view (HTML gate, P9): rows that produced spans ----
                 parsed = fetched.filter(
@@ -639,12 +684,15 @@ class CrawlEngine:
                 )
 
                 # -- documents sink (doc_id = canonical id vs the seed) -------
-                sink_futs.append(sink_pool.submit(
-                    self._write,
-                    parsed.select(*doc_cols, F.lit(r).alias("round")),
-                    "documents",
-                    r,
-                ))
+                def _write_documents(r=r, df=parsed, fut=fetched_fut):
+                    fut.result()
+                    self._write(
+                        df.select(*doc_cols, F.lit(r).alias("round")),
+                        "documents",
+                        r,
+                    )
+
+                sink_futs.append(sink_pool.submit(_write_documents))
 
                 # -- outlink candidates → admission pipeline ------------------
                 cand = (
@@ -665,27 +713,44 @@ class CrawlEngine:
                             F.col("block_type").isNull() & ~robots_ok, F.lit("ROBOTS")
                         ).otherwise(F.col("block_type")),
                     )
-                cand.persist()
+                    # the robots matcher is a Python UDF — barrier it so
+                    # the blocked sink and the frontier chain don't run
+                    # it twice
+                    cand.persist()
+                # without robots, cand is a narrow NATIVE chain off the
+                # persisted fetched frame (posexplode + regexp classify):
+                # recomputing it for the two consumers is cheaper than a
+                # cache registration, which runs the optimizer over the
+                # whole UDF plan on the driver (~190 ms/round measured —
+                # comparable to the executor-side work it saves)
 
-                blocked = cand.filter(F.col("block_type").isNotNull()).select(
-                    "siteid",
-                    F.col("u").alias("url"),
-                    "block_type",
-                    F.lit(r).alias("round"),
-                )
                 # fetch-stage rejects also land in the block report
                 # (worker.py:168-173)
-                blocked = blocked.unionByName(
-                    fetched.filter(
-                        F.col("_error").startswith("ignored content type")
+                def _write_blocked(r=r, cand=cand, fetched=fetched,
+                                   fut=fetched_fut):
+                    fut.result()
+                    blocked = cand.filter(
+                        F.col("block_type").isNotNull()
                     ).select(
                         "siteid",
-                        F.col("url_key").alias("url"),
-                        F.lit("FETCH_IGNORED_CONTENT_TYPE").alias("block_type"),
+                        F.col("u").alias("url"),
+                        "block_type",
                         F.lit(r).alias("round"),
+                    ).unionByName(
+                        fetched.filter(
+                            F.col("_error").startswith("ignored content type")
+                        ).select(
+                            "siteid",
+                            F.col("url_key").alias("url"),
+                            F.lit("FETCH_IGNORED_CONTENT_TYPE").alias(
+                                "block_type"
+                            ),
+                            F.lit(r).alias("round"),
+                        )
                     )
-                )
-                sink_futs.append(sink_pool.submit(self._write, blocked, "blocked", r))
+                    self._write(blocked, "blocked", r)
+
+                sink_futs.append(sink_pool.submit(_write_blocked))
 
                 # -- normalize (the canonicalization Arrow UDF) + dedup -------
                 new_links = (
@@ -730,9 +795,6 @@ class CrawlEngine:
                     )
                 # politeness off ⇒ dequeue_batch defers nothing; skip the
                 # union and the seen-side anti-join below entirely
-                no_defer = (
-                    self.cfg.max_per_host_round is None and self._budgets is None
-                )
                 new_frontier = (
                     new_links
                     if no_defer
@@ -744,12 +806,129 @@ class CrawlEngine:
                 # the seen-delta below (saves a write→read round trip per
                 # round; lineage still truncates because the next round
                 # re-reads the frontier from the snapshot)
-                new_frontier.persist()
+                t_plan = time.perf_counter()
+                if pipelined:
+                    # ---- pipelined commit path (deterministic lineage) --
+                    # One blocking job: localCheckpoint materializes the
+                    # round (fetch+parse → admission → dedup → anti-join)
+                    # AND truncates the logical plan to a LogicalRDD —
+                    # without truncation, carrying `frontier = new_frontier`
+                    # across rounds makes every multi-reference operator
+                    # (dequeue, two-pass rank) duplicate the whole prior
+                    # tree and the plan string grows exponentially with
+                    # round count (measured: driver OOM inside
+                    # explainString by round ~8). Every parquet write then
+                    # reads the materialized partitions in the background
+                    # while the next round proceeds from the in-memory
+                    # frames. (Executor loss would drop checkpoint blocks
+                    # — the deterministic gate plus the ordered fallback
+                    # path cover the cases where that is not acceptable.)
+                    fetched_fut.result()
+                    new_frontier = new_frontier.localCheckpoint(eager=True)
+                    cnt = new_frontier.count()
+                    seen_new = new_frontier.select(
+                        *seen_cols, F.lit(r).alias("round_seen")
+                    )
+                    t_seen = time.perf_counter()
+                    frontier_fut = sink_pool.submit(
+                        self._write, new_frontier, "frontier", r
+                    )
+                    seen_fut = sink_pool.submit(
+                        self._write, seen_new, "seen", r
+                    )
+                    seen_count += cnt
+                    if self.bloom is not None:
+                        self._bloom_add(seen_new)
+                    elif (
+                        self.cfg.seen_filter == "bloom"
+                        and seen_count >= self.cfg.use_bloom_min_seen
+                    ):
+                        # one-time bloom build reads the durable seen
+                        # table: flush outstanding commits first
+                        seen_fut.result()
+                        for f in commit_futs:
+                            f.result()
+                        self.bloom = self._new_bloom(seen_count)
+                        self._bloom_add(self.read_all("seen"))
+                    t_done = time.perf_counter()
+
+                    stats.total_visits += batch_count
+                    stats.rounds = r
+
+                    # ordered commit: meta r lands only after every
+                    # round-r file is durable. The single committer
+                    # thread preserves round order; a crash before the
+                    # meta write leaves the round's files as orphans,
+                    # pruned by _prune_orphan_rounds on resume — the
+                    # recovery protocol is identical to the ordered path.
+                    def _commit_round(
+                        r=r,
+                        futs=(frontier_fut, seen_fut, *sink_futs),
+                        visits=stats.total_visits,
+                        base={
+                            "round": r,
+                            "visited": batch_count,
+                            "frontier": frontier_count,
+                            "deferred": 0,
+                            "new_frontier": cnt,
+                            "new_seen": cnt,
+                        },
+                        t0=t_round,
+                        tp=t_plan,
+                        ts=t_seen,
+                        td=t_done,
+                    ):
+                        for f in futs:
+                            f.result()
+                        m = {
+                            **base,
+                            "blocked": _parquet_rows(self._p("blocked", r)),
+                            "documents": _parquet_rows(
+                                self._p("documents", r)
+                            ),
+                            "ms_plan": round((tp - t0) * 1000, 1),
+                            "ms_seen_commit": round((ts - tp) * 1000, 1),
+                            "ms_frontier_wait": 0.0,
+                            "ms_filters": round((td - ts) * 1000, 1),
+                            "ms_sinks_wait": 0.0,
+                            "ms_round": round((td - t0) * 1000, 1),
+                        }
+                        stats.per_round.append(m)
+                        self._append_metrics(m)
+                        self._write_meta(r, visits)
+
+                    commit_futs.append(commit_pool.submit(_commit_round))
+
+                    # join the PREVIOUS round's writes (they had a full
+                    # round of wall time to land) and release its caches.
+                    # Checkpointed new_frontier blocks are NOT released —
+                    # they back the in-memory seen union the anti-join
+                    # probes (slim columns only; freed by GC after run).
+                    if prev_round is not None:
+                        for f in prev_round["futs"]:
+                            f.result()
+                        for df_ in prev_round["unpersist"]:
+                            df_.unpersist()
+                    prev_round = {
+                        "futs": [frontier_fut, seen_fut, *sink_futs],
+                        "unpersist": [fetched, cand],
+                    }
+
+                    frontier = new_frontier
+                    frontier_rows = cnt
+                    seen = seen.unionByName(
+                        new_frontier.select("siteid", "url_key", "host_bucket")
+                    )
+                    continue
+
+                # ---- ordered commit path (nondeterministic fetcher,
+                # politeness deferrals, cuckoo filters, or page upserts) --
                 # frontier snapshot write overlaps with the seen-delta job
                 # below — both only need the persisted new_frontier (the
                 # first to run materializes the cache, the other reuses it);
                 # the future is joined before bloom/cuckoo/meta commit
-                t_plan = time.perf_counter()
+                fetched_fut.result()
+                new_frontier.persist()
                 frontier_fut = sink_pool.submit(
                     self._write, new_frontier, "frontier", r
                 )
@@ -849,8 +1028,19 @@ class CrawlEngine:
                 frontier = self._read_round("frontier", r)
                 seen = self.read_all("seen").select("siteid", "url_key")
 
+            # drain pipelined commits before returning: every write and
+            # meta commit surfaced, caches released
+            if prev_round is not None:
+                for f in prev_round["futs"]:
+                    f.result()
+                for df_ in prev_round["unpersist"]:
+                    df_.unpersist()
+                prev_round = None
+            for f in commit_futs:
+                f.result()
         finally:
             sink_pool.shutdown(wait=True)
+            commit_pool.shutdown(wait=True)
         return stats
 
     def resume(self) -> CrawlStats:
