@@ -213,3 +213,49 @@ def test_resume_prunes_orphan_rounds(spark, graph, tmp_path_factory,
         per_site.setdefault(r["siteid"], []).append(r["url_key"])
     for siteid, oracle in oracle_results.items():
         assert per_site[siteid] == [u for (u, _d, _p) in oracle.visit_order]
+
+
+def test_pipelined_equals_ordered_commits(spark, graph, tmp_path_factory):
+    """The pipelined commit path (background checkpoint writes +
+    ordered committer) must produce byte-identical state tables to the
+    fully ordered path on the same deterministic web."""
+    _, pages, sites = graph
+    pages_df = spark.createDataFrame(pages)
+    sites_df = spark.createDataFrame(sites)
+    states = {}
+    for mode in (True, False):
+        state = str(tmp_path_factory.mktemp(f"pipe_{mode}"))
+        eng = CrawlEngine(
+            spark,
+            pages_df,
+            sites_df,
+            config=CrawlConfig(state_dir=state, pipeline_commits=mode),
+        )
+        eng.run(fresh=True)
+        states[mode] = eng
+    for table, cols in [
+        ("fetch_log", ["siteid", "url_key", "visit_ord", "depth",
+                       "status_code", "success", "error", "round"]),
+        ("seen", ["siteid", "url_key", "host_bucket", "first_depth",
+                  "round_seen"]),
+        ("documents", ["doc_id", "siteid", "visit_ord", "round"]),
+        ("blocked", ["siteid", "url", "block_type", "round"]),
+        ("frontier", ["siteid", "url_key", "depth", "round"]),
+    ]:
+        a = (
+            states[True].read_all(table).select(*cols).orderBy(*cols)
+            .toPandas().reset_index(drop=True)
+        )
+        b = (
+            states[False].read_all(table).select(*cols).orderBy(*cols)
+            .toPandas().reset_index(drop=True)
+        )
+        assert a.equals(b), f"{table} diverged between commit paths"
+    # both paths committed the same per-round lineage
+    ma = states[True].metrics().select(
+        "round", "visited", "new_seen", "documents"
+    ).orderBy("round").toPandas().reset_index(drop=True)
+    mb = states[False].metrics().select(
+        "round", "visited", "new_seen", "documents"
+    ).orderBy("round").toPandas().reset_index(drop=True)
+    assert ma.equals(mb)

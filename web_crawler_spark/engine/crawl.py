@@ -130,6 +130,13 @@ class CrawlConfig:
     # two-phase salted top-k dequeue for hot hosts (None = single window
     # per host; set ~16-64 when a host can hold >10^6 frontier rows)
     dequeue_salts: int | None = None
+    # pipelined round commits: when lineage is deterministic (no HTTP
+    # fetcher), nothing defers, and no stateful filter reads the durable
+    # table mid-round, parquet writes are pure checkpoints and land in
+    # the background while the next round proceeds from in-memory
+    # frames (an ordered committer preserves the crash-recovery
+    # protocol). False forces the fully ordered commit path.
+    pipeline_commits: bool = True
 
 
 @dataclass
@@ -477,7 +484,8 @@ class CrawlEngine:
             self.cfg.max_per_host_round is None and self._budgets is None
         )
         pipelined = (
-            self._fetcher is None
+            self.cfg.pipeline_commits
+            and self._fetcher is None
             and no_defer
             and self._filters is None
             and not self.cfg.upsert_pages
