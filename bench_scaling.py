@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 DATA_DIR = "/tmp/wcs_scaling_input"
 MINHASH_DIR = "/tmp/wcs_scaling_minhash"
+ANN_DIR = "/tmp/wcs_scaling_ann"
 
 
 def prepare_input(pages_n: int, hosts: int) -> None:
@@ -158,6 +159,71 @@ def run_minhash(spark: SparkSession) -> tuple[int, float]:
     return n, time.time() - t0
 
 
+def prepare_ann_input(n_vecs: int, dim: int = 64, n_queries: int = 512) -> None:
+    """Deterministic synthetic embedding corpus for the ANN-LSH scaling
+    job: 4096 latent clusters, vec = 0.8·centroid + 0.6·noise, so
+    same-cluster vectors collide in hyperplane bands the way real
+    embedding neighborhoods do (pure-random vectors would make the
+    band join degenerate: ~zero candidates, the job would measure only
+    the signature UDF). Cross-cluster band collisions at 8-bit bands
+    run ~1.6% — a realistic re-rank load. Vectors are a pure function
+    of vec_id (seed-stable), generated distributed via mapInPandas;
+    queries use the same scheme from a disjoint id range."""
+    import numpy as np
+
+    from web_crawler_spark.session import get_spark
+
+    marker = os.path.join(ANN_DIR, f"_OK_{n_vecs}_{dim}_{n_queries}")
+    if os.path.exists(marker):
+        return
+    shutil.rmtree(ANN_DIR, ignore_errors=True)
+    spark = get_spark("ann_prep", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vecs = []
+            for i in ids:
+                c = np.random.RandomState(
+                    (int(i) % 4096) + 12345
+                ).standard_normal(dim)
+                z = np.random.RandomState(int(i) & 0x7FFFFFFF).standard_normal(
+                    dim
+                )
+                vecs.append((0.8 * c + 0.6 * z).astype(np.float32).tolist())
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    schema = "vec_id long, embedding array<float>"
+    spark.range(0, n_vecs, 1, 64).mapInPandas(gen, schema).write.mode(
+        "overwrite"
+    ).parquet(f"{ANN_DIR}/corpus")
+    spark.range(n_vecs, n_vecs + n_queries, 1, 8).mapInPandas(
+        gen, schema
+    ).write.mode("overwrite").parquet(f"{ANN_DIR}/queries")
+    open(marker, "w").close()
+    spark.stop()
+
+
+def run_ann(spark: SparkSession) -> tuple[int, float]:
+    """The ANN similarity-search tier end-to-end, exactly the
+    registered ann_lsh_topk shape: hyperplane band UDF → (band,
+    bucket) equi-join → candidate dedupe → numpy cosine re-rank →
+    per-query top-k window → noop."""
+    from web_crawler_spark.operators.similarity import lsh_topk
+
+    corpus = spark.read.parquet(f"{ANN_DIR}/corpus")
+    queries = spark.read.parquet(f"{ANN_DIR}/queries")
+    dim = len(corpus.select("embedding").head()[0])
+    n = corpus.count()
+    t0 = time.time()
+    lsh_topk(
+        corpus, queries, dim, k=10, num_bits=32,
+        id_col="vec_id", vec_col="embedding",
+    ).write.format("noop").mode("overwrite").save()
+    return n, time.time() - t0
+
+
 def run_round(spark: SparkSession) -> tuple[int, float]:
     """One crawl round (engine/crawl.py round body, sinks → noop).
 
@@ -248,12 +314,23 @@ def hw_control(spark: SparkSession, job: str = "crawl") -> float:
     this box (2→8 pinned cores) while this bandwidth-bound control
     scales ~0.77, because all cores share one memory system; on a real
     cluster, memory bandwidth scales WITH executor count."""
+    t0 = time.time()
+    if job == "ann":
+        # bandwidth control over the float corpus: stream every vector
+        # element through a JVM higher-order aggregate (no shuffle)
+        spark.read.parquet(f"{ANN_DIR}/corpus").select(
+            F.sum(
+                F.aggregate(
+                    "embedding", F.lit(0.0), lambda acc, x: acc + x
+                )
+            )
+        ).collect()
+        return time.time() - t0
     path, col = (
         (f"{DATA_DIR}/pages", "html")
         if job == "crawl"
         else (f"{MINHASH_DIR}/documents", "text")
     )
-    t0 = time.time()
     spark.read.parquet(path).select(
         F.sum(F.length(F.regexp_replace(col, "<[^>]+>", "")))
     ).collect()
@@ -277,6 +354,12 @@ def _warmup(spark: SparkSession, job: str = "crawl") -> None:
             F.sum(F.length("text"))
         ).collect()
         return
+    if job == "ann":
+        for t in ("corpus", "queries"):
+            spark.read.parquet(f"{ANN_DIR}/{t}").select(
+                F.sum(F.size("embedding"))
+            ).collect()
+        return
     for t, col in (("pages", F.length("html")), ("frontier", F.lit(1)),
                    ("seen", F.lit(1))):
         spark.read.parquet(f"{DATA_DIR}/{t}").select(F.sum(col)).collect()
@@ -297,7 +380,8 @@ def run_single(cores: int, trials: int = 1, job: str = "crawl") -> dict:
     spark.sparkContext.setLogLevel("ERROR")
     _warmup(spark, job)
     ctrl = min(hw_control(spark, job) for _ in range(3))
-    run_job = run_minhash if job == "minhash" else run_round
+    run_job = {"crawl": run_round, "minhash": run_minhash,
+               "ann": run_ann}[job]
     best = None
     for _ in range(trials):
         n, dt = run_job(spark)
@@ -322,8 +406,10 @@ def main() -> None:
     # "minhash" = the flagship LLM-pipeline dedup tier end-to-end
     # (signature UDF → banded bucket join → verify) over a synthetic
     # document corpus — same pair-ratio protocol
+    # "ann" = the similarity-search tier (hyperplane LSH top-k) over a
+    # clustered synthetic embedding corpus — same pair-ratio protocol
     ap.add_argument("--job", type=str, default="crawl",
-                    choices=("crawl", "minhash"))
+                    choices=("crawl", "minhash", "ann"))
     ap.add_argument("--docs", type=int, default=120_000)
     # interleave level trials (4,16,4,16,...) so host-load epochs on the
     # shared VM hit both levels equally; per-level min is reported
@@ -346,6 +432,8 @@ def main() -> None:
 
     if args.job == "minhash":
         prepare_minhash_input(args.docs)
+    elif args.job == "ann":
+        prepare_ann_input(args.docs)
     else:
         prepare_input(args.pages, args.hosts)
     os.environ["WCS_SCALING_HOSTS"] = str(args.hosts)  # children inherit
@@ -386,11 +474,11 @@ def main() -> None:
     ]
     eff = statistics.median(pair_effs)
     out = {
-        "metric": (
-            "crawl_round_urls_per_sec"
-            if args.job == "crawl"
-            else "minhash_lsh_docs_per_sec"
-        ),
+        "metric": {
+            "crawl": "crawl_round_urls_per_sec",
+            "minhash": "minhash_lsh_docs_per_sec",
+            "ann": "ann_lsh_vecs_per_sec",
+        }[args.job],
         "levels": results,
         "samples_sec": {c: [r["sec"] for r in samples[c]] for c in levels},
         "pair_efficiencies": pair_effs,
@@ -398,7 +486,7 @@ def main() -> None:
         "criterion": ">=0.8 from N to 4N (north rule); "
                      "median of same-epoch pair ratios",
         "pages": args.pages if args.job == "crawl" else None,
-        "docs": args.docs if args.job == "minhash" else None,
+        "docs": args.docs if args.job != "crawl" else None,
         "pinned": pin,
     }
     ctrl_pairs = [
