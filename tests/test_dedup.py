@@ -253,3 +253,76 @@ def test_dedup_clusters_transitive(spark):
     out = dedup_clusters(ids, pairs).toPandas()
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got == {0: 0, 1: 1, 3: 1, 5: 1, 2: 2, 6: 2, 4: 4}, got
+
+
+# ---------------------------------------------------------------------------
+# hot-bucket cap (cap_buckets): the 10^10-doc guard on the LSH joins
+# ---------------------------------------------------------------------------
+
+
+def test_max_bucket_parity_when_under_cap(docs):
+    """A cap larger than every bucket must be a no-op for all three
+    capped tiers."""
+    base = minhash_lsh_pairs(docs, threshold=0.5).toPandas()
+    capped = minhash_lsh_pairs(docs, threshold=0.5, max_bucket=10**6).toPandas()
+    key = ["id_a", "id_b"]
+    assert sorted(map(tuple, base[key].values.tolist())) == sorted(
+        map(tuple, capped[key].values.tolist())
+    )
+    base_s = simhash_pairs(docs).toPandas()
+    capped_s = simhash_pairs(docs, max_bucket=10**6).toPandas()
+    assert sorted(map(tuple, base_s[key].values.tolist())) == sorted(
+        map(tuple, capped_s[key].values.tolist())
+    )
+
+
+def test_max_bucket_bounds_boilerplate_cluster(spark):
+    """A mass-duplicated boilerplate cluster (every band collapses to
+    one bucket → quadratic candidates) is dropped by the cap, while
+    pairs living in small buckets still surface. Identical docs are
+    exact-dedup's job (`exact_dedup_keep` runs FIRST in a real
+    pipeline); the cap bounds what leaks through."""
+    boiler = "copyright footer navigation menu login subscribe " * 6
+    rows = [(i, boiler) for i in range(300)]
+    rows += [(1000, BASE), (1001, BASE.replace("warm", "cold"))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, max_bucket=50).toPandas()
+    got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    # the planted near-dup (small buckets) survives the cap
+    assert (1000, 1001) in got
+    # no candidate pair from the 300-doc boilerplate cluster (its
+    # buckets all exceed the cap) — without the cap it contributes
+    # 300*299/2 = 44,850 pairs
+    assert not any(a < 1000 and b < 1000 for a, b in got)
+
+    spairs = simhash_pairs(docs, max_bucket=50).toPandas()
+    sgot = {tuple(r) for r in spairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert not any(a < 1000 and b < 1000 for a, b in sgot)
+
+
+def test_max_bucket_embedding_lsh(spark):
+    """Same guard on the hyperplane-LSH tier: a duplicated embedding
+    cluster is capped away; a small planted near-dup pair survives."""
+    import numpy as np
+
+    from web_crawler_spark.operators.similarity import (
+        embedding_cosine_pairs_lsh,
+    )
+
+    rng = np.random.RandomState(11)
+    hot = rng.standard_normal(16)
+    rows = [(i, hot.tolist()) for i in range(200)]
+    a = rng.standard_normal(16)
+    rows += [(1000, a.tolist()), (1001, (a + 0.01 * rng.standard_normal(16)).tolist())]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    pairs = embedding_cosine_pairs_lsh(
+        vecs, dim=16, threshold=0.9, max_bucket=50
+    ).toPandas()
+    got = {tuple(r) for r in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert (1000, 1001) in got
+    assert not any(a_ < 1000 and b_ < 1000 for a_, b_ in got)
+    # uncapped control: the hot cluster floods the pair set
+    flood = embedding_cosine_pairs_lsh(vecs, dim=16, threshold=0.9).toPandas()
+    assert len(flood) > len(pairs)

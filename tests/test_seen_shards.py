@@ -194,3 +194,40 @@ def test_engine_parity_with_sharded_bloom(spark, tmp_path):
         }
     if results["sharded"] != results["none"]:
         raise AssertionError("sharded-bloom crawl diverged from exact anti-join")
+
+
+def test_shard_cache_evicts_destroyed_epochs(tmp_path):
+    """Reused Python workers keep a process-level mmap cache; long
+    crawls publish one store epoch per round, so entries whose epoch
+    dir has been destroy()ed must be swept once the cache grows —
+    otherwise every old epoch's unlinked bitmap stays pinned for the
+    worker's lifetime."""
+    import web_crawler_spark.operators.seen as seen_mod
+    from web_crawler_spark.operators.seen import ShardedBloom
+
+    sb = ShardedBloom.empty(100, fpp=0.01, num_shards=2)
+    old_sweep = seen_mod._SHARD_CACHE_SWEEP_AT
+    seen_mod._SHARD_CACHE.clear()
+    seen_mod._SHARD_CACHE_SWEEP_AT = 4
+    try:
+        stores = [sb.save(str(tmp_path / f"epoch_{i}")) for i in range(3)]
+        for st in stores:
+            for s in range(2):
+                seen_mod._load_shard_words(
+                    str(tmp_path / st.store_dir.split("/")[-1] / f"shard_{s}.npy")
+                )
+        assert len(seen_mod._SHARD_CACHE) == 6
+        stores[0].destroy()
+        stores[1].destroy()
+        # next miss past the bound sweeps the 4 dead entries
+        extra = sb.save(str(tmp_path / "epoch_live"))
+        seen_mod._load_shard_words(
+            str(tmp_path / "epoch_live" / "shard_0.npy")
+        )
+        live = set(seen_mod._SHARD_CACHE)
+        assert not any("epoch_0/" in p or "epoch_1/" in p for p in live)
+        assert any("epoch_2/" in p for p in live)  # live epochs survive
+        extra.destroy()
+    finally:
+        seen_mod._SHARD_CACHE_SWEEP_AT = old_sweep
+        seen_mod._SHARD_CACHE.clear()

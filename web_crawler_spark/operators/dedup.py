@@ -27,8 +27,39 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from web_crawler_spark.functions.text import make_minhash_udf, simhash_udf
+
+
+def cap_buckets(
+    stacked: DataFrame, key_cols: list[str], max_bucket: int | None
+) -> DataFrame:
+    """Hot-bucket guard for the LSH blocking self-joins.
+
+    A blocking bucket of size m generates m·(m−1)/2 candidate pairs: one
+    boilerplate cluster (a mass-duplicated page, an empty-doc family, a
+    template) collapses every band to a single hash and turns the
+    "sublinear" candidate join quadratic — at 10^10 docs a 10^6-row
+    bucket alone is 5·10^11 pairs. AQE skew-split rebalances the
+    partitions but cannot reduce the pair COUNT; the algorithmic guard
+    is to drop buckets larger than ``max_bucket`` before the self-join
+    (standard practice in large-scale near-dup pipelines). Recall cost
+    is bounded: a true near-dup pair that loses one oversized band
+    usually still collides in its other, smaller bands; and genuinely
+    identical documents should be collapsed by exact dedup
+    (`exact_dedup_keep`) BEFORE any LSH tier — this cap then guards the
+    residual near-identical mass. The bucket-size window shuffles on
+    the same keys as the join itself, so it adds no new exchange shape.
+    None (the default) preserves exact pre-cap behavior."""
+    if max_bucket is None:
+        return stacked
+    w = Window.partitionBy(*key_cols)
+    return (
+        stacked.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -72,13 +103,16 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.7,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs with estimated Jaccard ≥ threshold.
 
     signature (Arrow UDF) → band rows (posexplode of band hashes) →
     self-join inside (band, band_hash) buckets → dedupe pairs →
     verify via signature agreement fraction. Output: id_a, id_b,
-    est_jaccard (id_a < id_b).
+    est_jaccard (id_a < id_b). ``max_bucket`` drops oversized band
+    buckets before the self-join (see `cap_buckets`) — the 10^10-doc
+    guard against boilerplate clusters turning the join quadratic.
     """
     rows_per_band = num_perm // bands
     sig_udf = make_minhash_udf(num_perm=num_perm, shingle_k=shingle_k)
@@ -99,6 +133,11 @@ def minhash_lsh_pairs(
             "band_id", "band_hash"
         ),
     )
+    stacked = cap_buckets(stacked, ["band_id", "band_hash"], max_bucket)
+    if max_bucket is not None:
+        # both join sides reference the capped plan — barrier the
+        # bucket-count window so it runs once, not per side
+        stacked = stacked.persist()
     left = stacked.alias("l")
     right = stacked.alias("r")
     cand = (
@@ -139,10 +178,12 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by simhash: block on any equal 16-bit chunk
     (guarantees recall for hamming ≤ 3 over 4 chunks), verify hamming
-    distance natively (bit_count of xor)."""
+    distance natively (bit_count of xor). ``max_bucket`` drops
+    oversized chunk buckets before the self-join (see `cap_buckets`)."""
     hashed = docs.select(
         F.col(id_col).alias("_id"), simhash_udf(F.col(text_col)).alias("sh")
     ).persist()
@@ -158,6 +199,9 @@ def simhash_pairs(
             )
         ).alias("chunk_id", "chunk"),
     )
+    chunks = cap_buckets(chunks, ["chunk_id", "chunk"], max_bucket)
+    if max_bucket is not None:
+        chunks = chunks.persist()
     l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
         l.join(

@@ -268,11 +268,21 @@ class ShardedBloom:
 # Keyed by absolute file path — a new store epoch (new directory) is a
 # new key, so stale bitmaps can never serve a newer probe.
 _SHARD_CACHE: dict[str, np.ndarray] = {}
+# long crawls publish one store epoch per round; without eviction a
+# reused worker pins every old epoch's mmap (unlinked inodes keep
+# their disk space + fds alive for the worker's lifetime). On a cache
+# miss past this bound, entries whose backing file is gone (their
+# epoch dir was destroy()ed) are dropped — in-flight numpy reads stay
+# safe via refcount, and live epochs are never evicted.
+_SHARD_CACHE_SWEEP_AT = 64
 
 
 def _load_shard_words(path: str) -> np.ndarray:
     w = _SHARD_CACHE.get(path)
     if w is None:
+        if len(_SHARD_CACHE) >= _SHARD_CACHE_SWEEP_AT:
+            for stale in [p for p in _SHARD_CACHE if not os.path.exists(p)]:
+                del _SHARD_CACHE[stale]
         # mmap: only the bitmap pages a probe touches are faulted in;
         # a 190 MB shard never fully loads for a few-thousand-row task
         w = np.load(path, mmap_mode="r")
