@@ -326,3 +326,36 @@ def test_max_bucket_embedding_lsh(spark):
     # uncapped control: the hot cluster floods the pair set
     flood = embedding_cosine_pairs_lsh(vecs, dim=16, threshold=0.9).toPandas()
     assert len(flood) > len(pairs)
+
+
+def test_max_bucket_lsh_topk_corpus_side(spark):
+    """lsh_topk corpus-side cap: a duplicated corpus cluster's bucket
+    is dropped (bounded candidates), results for queries whose true
+    neighbors live in small buckets are unchanged."""
+    import numpy as np
+
+    from web_crawler_spark.operators.similarity import lsh_topk
+
+    rng = np.random.RandomState(5)
+    hot = rng.standard_normal(16)
+    rows = [(i, hot.tolist()) for i in range(200)]
+    base = rng.standard_normal((8, 16))
+    rows += [(500 + i, base[i].tolist()) for i in range(8)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(9000 + i, (base[i] + 0.01 * rng.standard_normal(16)).tolist())
+         for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    capped = lsh_topk(
+        corpus, queries, dim=16, k=3, max_bucket=50
+    ).toPandas()
+    # no hot-cluster member may appear (its buckets exceed the cap)...
+    assert (capped["neighbor_id"] >= 500).all()
+    # ...and each query still finds its true small-bucket neighbor
+    top1 = (
+        capped.sort_values(["query_id", "cos_sim"], ascending=[True, False])
+        .groupby("query_id").head(1)
+    )
+    for _, r in top1.iterrows():
+        assert r["neighbor_id"] == r["query_id"] - 9000 + 500
