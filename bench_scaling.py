@@ -365,6 +365,19 @@ def _warmup(spark: SparkSession, job: str = "crawl") -> None:
         spark.read.parquet(f"{DATA_DIR}/{t}").select(F.sum(col)).collect()
 
 
+def _steal_jiffies(cores: int) -> int:
+    """Sum of hypervisor-steal jiffies over the leg's pinned cores
+    (taskset pins this process to cpus 0..cores-1)."""
+    total = 0
+    with open("/proc/stat") as fh:
+        for line in fh:
+            parts = line.split()
+            if parts and parts[0].startswith("cpu") and parts[0] != "cpu":
+                if int(parts[0][3:]) < cores:
+                    total += int(parts[8])
+    return total
+
+
 def run_single(cores: int, trials: int = 1, job: str = "crawl") -> dict:
     """Best-of-N wall time: with inputs page-cached, residual variance
     is scheduler jitter; min is the standard throughput estimator."""
@@ -383,13 +396,24 @@ def run_single(cores: int, trials: int = 1, job: str = "crawl") -> dict:
     run_job = {"crawl": run_round, "minhash": run_minhash,
                "ann": run_ann}[job]
     best = None
+    steal = 0.0
     for _ in range(trials):
+        s0, w0 = _steal_jiffies(cores), time.time()
         n, dt = run_job(spark)
+        w1 = time.time()
+        # hypervisor steal on THIS leg's pinned cores, as a fraction of
+        # the leg's core-seconds (USER_HZ=100): the direct evidence for
+        # whether a bad pair ratio is the plan or the shared host
+        steal = max(
+            steal, (_steal_jiffies(cores) - s0) / max(w1 - w0, 1e-9)
+            / 100.0 / cores,
+        )
         best = dt if best is None else min(best, dt)
     spark.stop()
     return {"urls": n, "sec": round(best, 2),
             "urls_per_sec": round(n / best, 1), "trials": trials,
-            "hw_control_sec": round(ctrl, 2)}
+            "hw_control_sec": round(ctrl, 2),
+            "steal_frac": round(steal, 4)}
 
 
 def main() -> None:
@@ -481,6 +505,12 @@ def main() -> None:
         }[args.job],
         "levels": results,
         "samples_sec": {c: [r["sec"] for r in samples[c]] for c in levels},
+        # hypervisor steal on the leg's pinned cores per sample (fraction
+        # of the leg's core-seconds): the per-pair proof of whether a low
+        # ratio is host steal or the plan
+        "samples_steal_frac": {
+            c: [r.get("steal_frac") for r in samples[c]] for c in levels
+        },
         "pair_efficiencies": pair_effs,
         "scaling_efficiency": round(eff, 3),
         "criterion": ">=0.8 from N to 4N (north rule); "
