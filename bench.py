@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "dedup_clusters",
     "text_quality",
+    "dataset_split",
     "ann_brute_force_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -939,6 +939,50 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline: reproducible sampling / dataset splits
+# ---------------------------------------------------------------------------
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-keyed train/val/test split (90/5/5) + an independent
+    20 % sample flag (`operators/sampling.py`). Reproducible by
+    construction — md5 over `doc_id|salt`, no rand(), no shuffle: the
+    assignment is a pure projection the oracle recomputes
+    bit-for-bit. At 10^10 rows this is scan-speed work."""
+    from web_crawler_spark.operators.sampling import (
+        hash_bucket_col,
+        train_val_test_split,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return train_val_test_split(d, "doc_id").select(
+        "doc_id",
+        "split",
+        (hash_bucket_col(F.col("doc_id"), "s20") < 200_000).alias(
+            "in_sample20"
+        ),
+    )
+
+
+ORACLE_DATASET_SPLIT = """
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 15))
+             ::BIGINT % 1000000 AS sb,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|s20'), 1, 15))
+             ::BIGINT % 1000000 AS qb
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN sb < 900000 THEN 'train'
+            WHEN sb < 950000 THEN 'val'
+            ELSE 'test' END AS split,
+       qb < 200000 AS in_sample20
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
 # training-data pipeline: similarity search over embeddings
 # ---------------------------------------------------------------------------
 
@@ -1680,6 +1724,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
+    "dataset_split": q_dataset_split,
     "ann_brute_force_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
@@ -1710,6 +1755,7 @@ ORACLES: dict[str, str] = {
     "robots_eval": ORACLE_ROBOTS,
     "lang_id": ORACLE_LANG_ID,
     "fingerprints": ORACLE_FINGERPRINTS,
+    "dataset_split": ORACLE_DATASET_SPLIT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
     "dedup_ngram_jaccard_allpairs": ORACLE_DEDUP_NGRAM,
