@@ -49,6 +49,8 @@ def main() -> int:
     only = set(sys.argv[1:])
     spark = get_spark("validate_oracles")
     con = duckdb.connect()
+    # pin the session timezone: oracle SQL must not depend on host TZ
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         p = os.path.join(SF_DIR, f"{t}.parquet")
         if os.path.exists(p):

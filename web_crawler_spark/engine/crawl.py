@@ -869,8 +869,15 @@ class CrawlEngine:
                     # meta write leaves the round's files as orphans,
                     # pruned by _prune_orphan_rounds on resume — the
                     # recovery protocol is identical to the ordered path.
+                    # PREFIX DURABILITY: each commit first joins the
+                    # PREVIOUS round's commit future — if any round-r
+                    # write failed, commit r raised, and re-raising it
+                    # here poisons every later commit BEFORE it writes
+                    # meta, so meta can never claim a round whose prefix
+                    # is not fully durable (advisor r3, medium).
                     def _commit_round(
                         r=r,
+                        prev=(commit_futs[-1] if commit_futs else None),
                         futs=(frontier_fut, seen_fut, *sink_futs),
                         visits=stats.total_visits,
                         base={
@@ -886,6 +893,8 @@ class CrawlEngine:
                         ts=t_seen,
                         td=t_done,
                     ):
+                        if prev is not None:
+                            prev.result()  # poisoned prefix ⇒ no meta here
                         for f in futs:
                             f.result()
                         m = {

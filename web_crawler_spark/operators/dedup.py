@@ -116,9 +116,17 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     sig_udf = make_minhash_udf(num_perm=num_perm, shingle_k=shingle_k)
+    # barrier as a lazy localCheckpoint, not persist(): both are a
+    # run-once materialization for the multi-consumer plan below, but
+    # checkpoint blocks are released by the ContextCleaner when the
+    # DataFrame goes out of scope — persist() entries live in the
+    # CacheManager until an explicit unpersist/clearCache, so repeated
+    # calls in a long-lived session accumulate cached plans (advisor
+    # r3). Tradeoff: lineage is truncated, so a lost block fails the
+    # job instead of recomputing — acceptable for query-scoped frames.
     sigs = docs.select(
         F.col(id_col).alias("_id"), sig_udf(F.col(text_col)).alias("sig")
-    ).persist()
+    ).localCheckpoint(eager=False)
 
     band_exprs = [
         F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band)).alias(
@@ -136,8 +144,9 @@ def minhash_lsh_pairs(
     stacked = cap_buckets(stacked, ["band_id", "band_hash"], max_bucket)
     if max_bucket is not None:
         # both join sides reference the capped plan — barrier the
-        # bucket-count window so it runs once, not per side
-        stacked = stacked.persist()
+        # bucket-count window so it runs once, not per side (lazy
+        # localCheckpoint: GC-released, see sigs above)
+        stacked = stacked.localCheckpoint(eager=False)
     left = stacked.alias("l")
     right = stacked.alias("r")
     cand = (
@@ -186,7 +195,7 @@ def simhash_pairs(
     oversized chunk buckets before the self-join (see `cap_buckets`)."""
     hashed = docs.select(
         F.col(id_col).alias("_id"), simhash_udf(F.col(text_col)).alias("sh")
-    ).persist()
+    ).localCheckpoint(eager=False)  # GC-released barrier (see minhash)
     chunks = hashed.select(
         "_id",
         "sh",
@@ -201,7 +210,7 @@ def simhash_pairs(
     )
     chunks = cap_buckets(chunks, ["chunk_id", "chunk"], max_bucket)
     if max_bucket is not None:
-        chunks = chunks.persist()
+        chunks = chunks.localCheckpoint(eager=False)
     l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
         l.join(
@@ -281,7 +290,7 @@ def ngram_jaccard_pairs(
         .select(
             "_id", F.transform("grams", lambda g: F.xxhash64(g)).alias("grams")
         )
-        .persist()
+        .localCheckpoint(eager=False)  # GC-released barrier (see minhash)
     )
     sizes = grams.select("_id", F.size("grams").alias("n_grams"))
     e = grams.select("_id", F.explode("grams").alias("g"))
@@ -556,7 +565,7 @@ def ngram_jaccard_pairs_naive(
     """Reference implementation (explode → pair counts). Kept as the
     equivalence oracle for the prefix-filtered plan; do not use at
     scale — every shared gram becomes a join key, hot grams included."""
-    grams = _gram_arrays(docs, id_col, text_col, n).persist()
+    grams = _gram_arrays(docs, id_col, text_col, n).localCheckpoint(eager=False)
     sizes = grams.select("_id", F.size("grams").alias("n_grams"))
     exploded = grams.select("_id", F.explode("grams").alias("g"))
     l, r = exploded.alias("l"), exploded.alias("r")

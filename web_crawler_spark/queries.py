@@ -190,9 +190,14 @@ def q_o1_recent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_O1 = """
 SELECT event_id, ts, event_type, round(value, 4) AS value,
-       timezone('Asia/Kolkata', CAST(ts AS TIMESTAMPTZ)) AS ts_ist
+       timezone('Asia/Kolkata', timezone('UTC', ts)) AS ts_ist
 FROM events ORDER BY ts DESC, event_id DESC LIMIT 5
 """
+# ts_ist: timezone('UTC', ts) pins the naive→instant interpretation to
+# UTC regardless of the DuckDB session timezone (CAST(ts AS TIMESTAMPTZ)
+# would use the session zone and only matched because the harness host
+# ran UTC — advisor r3); the outer timezone() converts the instant to
+# IST wall time, exactly Spark's from_utc_timestamp.
 
 
 def q_o6_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
