@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, "/root/repo")
 
-from web_crawler_spark.queries import ORACLES, QUERIES  # noqa: E402
+from web_crawler_spark.queries import QUERIES, build_oracles  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -73,4 +73,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    # build_oracles resolves the lazy recall oracles too (their
+    # approximate-side mirrors pre-materialize parquet at build time)
+    return build_oracles()

@@ -1,0 +1,179 @@
+"""r4 engine hardening tests:
+
+1. Ordered-path background sinks (`pipeline_sinks`): with a real
+   (callback) fetcher — which forces the ordered frontier/seen commit
+   path — the fetch_log/documents/blocked sinks, upsert, metrics and
+   meta land on the background committer. State must be byte-identical
+   to the fully synchronous path and the round critical path must show
+   ms_sinks_wait == 0.
+2. Pipelined-mode seen-union compaction (`seen_compact_rounds`): on a
+   50-round chain crawl the anti-join's in-memory seen frame is
+   re-rooted on the durable table every K rounds, so plan depth stays
+   bounded (≤ K union legs) with output parity vs the unbounded form.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+from web_crawler_spark.engine.crawl import CrawlConfig, CrawlEngine
+from web_crawler_spark.fixtures.webgraph import (
+    WebGraphConfig,
+    generate_pages,
+    generate_sites,
+)
+
+TABLES = [
+    ("fetch_log", ["siteid", "url_key", "visit_ord", "depth",
+                   "status_code", "success", "error", "round"]),
+    ("seen", ["siteid", "url_key", "host_bucket", "first_depth",
+              "round_seen"]),
+    ("documents", ["doc_id", "siteid", "visit_ord", "round"]),
+    ("blocked", ["siteid", "url", "block_type", "round"]),
+    ("frontier", ["siteid", "url_key", "depth", "round"]),
+]
+
+
+def _table_pdf(eng, table, cols):
+    return (
+        eng.read_all(table).select(*cols).orderBy(*cols)
+        .toPandas().reset_index(drop=True)
+    )
+
+
+def test_ordered_background_sinks_parity(spark, tmp_path_factory):
+    """pipeline_sinks=True ≡ False under the http-seam fixture fetcher
+    (the production-shaped ordered path), and the backgrounded run's
+    committed metrics show zero sink wait on the critical path."""
+    from web_crawler_spark.operators.fetch import make_lookup_fetcher
+
+    cfg = WebGraphConfig(hosts=2, pages_per_host=24)
+    pages = generate_pages(cfg)
+    sites_df = spark.createDataFrame(generate_sites(cfg))
+    pages_df = spark.createDataFrame(pages)
+    engines = {}
+    for mode in (True, False):
+        state = str(tmp_path_factory.mktemp(f"sinks_{mode}"))
+        eng = CrawlEngine(
+            spark,
+            pages_df,
+            sites_df,
+            fetcher=make_lookup_fetcher(pages),
+            config=CrawlConfig(state_dir=state, pipeline_sinks=mode),
+        )
+        stats = eng.run(fresh=True)
+        assert stats.total_visits > 0
+        engines[mode] = eng
+    for table, cols in TABLES:
+        a = _table_pdf(engines[True], table, cols)
+        b = _table_pdf(engines[False], table, cols)
+        assert a.equals(b), f"{table} diverged with background sinks"
+    # the backgrounded run never waited on sinks in the round loop
+    mpath = os.path.join(engines[True].cfg.state_dir, "metrics.jsonl")
+    waits = [json.loads(ln)["ms_sinks_wait"] for ln in open(mpath)]
+    assert waits and all(w == 0.0 for w in waits), waits
+
+
+def test_ordered_background_sinks_with_upserts(spark, tmp_path_factory):
+    """Upserts ride the background committer too: pages_current() is
+    identical to the synchronous path's."""
+    cfg = WebGraphConfig(hosts=2, pages_per_host=12)
+    pages_df = spark.createDataFrame(generate_pages(cfg))
+    sites_df = spark.createDataFrame(generate_sites(cfg))
+    current = {}
+    for mode in (True, False):
+        state = str(tmp_path_factory.mktemp(f"ups_{mode}"))
+        eng = CrawlEngine(
+            spark,
+            pages_df,
+            sites_df,
+            config=CrawlConfig(
+                state_dir=state, upsert_pages=True, pipeline_sinks=mode
+            ),
+        )
+        eng.run(fresh=True)
+        current[mode] = (
+            eng.pages_current()
+            .select("siteid", "url_key", "visit_ord", "success")
+            .orderBy("siteid", "url_key")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+    assert current[True].equals(current[False])
+
+
+def _chain_fixture(n: int):
+    """A single-host page chain: root → /p1 → … → /p{n-1} (one URL per
+    BFS round ⇒ n crawl rounds)."""
+    host = "chain.example.com"
+    rows = []
+    for j in range(n):
+        url = f"https://{host}/" if j == 0 else f"https://{host}/p{j}"
+        nxt = f'<a href="/p{j + 1}">next</a>' if j < n - 1 else ""
+        rows.append(
+            {
+                "url": url,
+                "host": host,
+                "status_code": 200,
+                "content_type": "text/html",
+                "html": f"<html><body><p>page {j}</p>{nxt}</body></html>",
+                "rendered_html": None,
+                "first_attempts_429": 0,
+                "response_time_ms": 10,
+                "fetch_latency_ms": 5,
+                "content_length": 40,
+            }
+        )
+    pages = pd.DataFrame(rows)
+    sites = pd.DataFrame(
+        [{"siteid": 1, "custid": 1, "url": f"https://{host}", "enabled": True}]
+    )
+    return pages, sites
+
+
+def test_seen_compaction_bounds_plan_with_parity(spark, tmp_path_factory):
+    """50-round chain crawl: with seen_compact_rounds=K the in-memory
+    seen frame never exceeds K union legs (constant anti-join plan
+    depth for arbitrarily long crawls), and visits/seen are identical
+    to the unbounded form."""
+    pages, sites = _chain_fixture(50)
+    pages_df = spark.createDataFrame(pages)
+    sites_df = spark.createDataFrame(sites)
+    results = {}
+    for k in (8, 0):  # 0 disables compaction (the unbounded r3 form)
+        state = str(tmp_path_factory.mktemp(f"compact_{k}"))
+        eng = CrawlEngine(
+            spark,
+            pages_df,
+            sites_df,
+            config=CrawlConfig(state_dir=state, seen_compact_rounds=k),
+        )
+        stats = eng.run(fresh=True)
+        assert stats.rounds == 50 and stats.total_visits == 50, (
+            stats.rounds,
+            stats.total_visits,
+        )
+        legs = eng._seen_union_legs
+        if k:
+            assert legs <= k, legs
+        else:
+            # the unbounded chain this test kills: 1 durable root leg
+            # + one union leg per round
+            assert legs == 51, legs
+        results[k] = {
+            "visits": eng.visits()
+            .orderBy("visit_ord")
+            .select("url_key", "visit_ord", "depth")
+            .toPandas()
+            .reset_index(drop=True),
+            "seen": eng.seen_keys()
+            .orderBy("siteid", "url_key")
+            .toPandas()
+            .reset_index(drop=True),
+        }
+    assert results[8]["visits"].equals(results[0]["visits"])
+    assert results[8]["seen"].equals(results[0]["seen"])

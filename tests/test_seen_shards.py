@@ -6,6 +6,8 @@ never semantics. False negatives are impossible; false positives are
 bounded by fpp and routed to the exact anti-join.
 """
 
+import os
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -231,3 +233,87 @@ def test_shard_cache_evicts_destroyed_epochs(tmp_path):
     finally:
         seen_mod._SHARD_CACHE_SWEEP_AT = old_sweep
         seen_mod._SHARD_CACHE.clear()
+
+
+def test_shard_store_resume_rebuilds_fresh_epochs(spark, tmp_path_factory):
+    """Kill-resume across store epochs (r4): a resumed engine rebuilds
+    its ShardStore from the durable seen table under a RUN-UNIQUE
+    namespace. Without that, epoch numbering restarts at 0 per engine
+    instance, so the resumed run would re-publish to the dead run's
+    epoch paths — and the executor-side shard cache is keyed by
+    absolute path, so a reused Python worker could answer a
+    post-resume probe from a stale pre-crash bitmap. Asserts: (1) the
+    dead run's epoch dirs are pruned at resume, (2) every post-resume
+    epoch path carries the new engine's nonce (disjoint from the dead
+    run's paths), (3) the resumed crawl's final visits/seen equal an
+    uninterrupted run's."""
+    import glob
+
+    from web_crawler_spark.engine.crawl import CrawlConfig, CrawlEngine
+    from web_crawler_spark.fixtures.webgraph import (
+        WebGraphConfig,
+        generate_pages,
+        generate_sites,
+    )
+
+    cfg = WebGraphConfig(hosts=3, pages_per_host=24)
+    pages_df = spark.createDataFrame(generate_pages(cfg))
+    sites_df = spark.createDataFrame(generate_sites(cfg))
+
+    def mk(state, max_rounds):
+        return CrawlEngine(
+            spark,
+            pages_df,
+            sites_df,
+            config=CrawlConfig(
+                state_dir=state,
+                max_rounds=max_rounds,
+                use_bloom_min_seen=1,  # sharded store from round 0
+                bloom_shards=4,
+                bloom_store=True,
+            ),
+        )
+
+    # uninterrupted reference run
+    ref_state = str(tmp_path_factory.mktemp("store_ref"))
+    ref = mk(ref_state, 10_000)
+    ref.run(fresh=True)
+
+    # killed run: 2 rounds, store epochs left behind
+    state = str(tmp_path_factory.mktemp("store_resume"))
+    eng1 = mk(state, 2)
+    eng1.run(fresh=True)
+    store_glob = os.path.join(state, "bloom_store", "epoch_*")
+    dead_epochs = set(glob.glob(store_glob))
+    assert dead_epochs, "killed run published no store epochs"
+    assert all(eng1._bloom_nonce in p for p in dead_epochs)
+
+    # resume with a fresh engine object on the same state_dir
+    eng2 = mk(state, 10_000)
+    eng2.resume()
+    live_epochs = set(glob.glob(store_glob))
+    assert live_epochs, "resumed run published no store epochs"
+    assert not (live_epochs & dead_epochs), "resume reused dead epoch paths"
+    assert all(eng2._bloom_nonce in p for p in live_epochs)
+    assert not any(eng1._bloom_nonce in p for p in live_epochs)
+
+    # final state parity vs the uninterrupted run
+    def visits(eng):
+        return (
+            eng.visits()
+            .orderBy("visit_ord")
+            .select("siteid", "url_key", "visit_ord", "depth")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+
+    def seen(eng):
+        return (
+            eng.seen_keys()
+            .orderBy("siteid", "url_key")
+            .toPandas()
+            .reset_index(drop=True)
+        )
+
+    assert visits(eng2).equals(visits(ref))
+    assert seen(eng2).equals(seen(ref))

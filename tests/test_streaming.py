@@ -153,3 +153,118 @@ def test_watermarked_window_drops_late_events(spark, tmp_path):
     assert 300 not in starts
     total = sum(r["n_fetches"] for r in rows)
     assert total == 3  # the three on-time events; late one dropped
+
+
+def test_sessionized_error_bursts_stream_equals_batch(spark, tmp_path):
+    """r4 §2.L depth: per-host session-windowed error-burst detection.
+    Sessions merge incrementally across micro-batches; a failure
+    arriving beyond the watermark is dropped; the watermark clock is
+    driven by failure events only (Catalyst pushes the failure filter
+    below the watermark collector — see the operator docstring), so
+    the flusher is a failure-typed heartbeat on a dedicated host whose
+    own session never closes (and so never emits in append mode). The
+    surviving streamed sessions must equal the identical plan run in
+    BATCH over the on-time events (streaming ≡ batch parity)."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from web_crawler_spark.streaming.windows import sessionized_error_bursts
+
+    src = tmp_path / "events"
+    os.makedirs(src)
+
+    def batch_file(name, rows):
+        pd.DataFrame(
+            rows, columns=["url_key", "success", "content_length", "ts"]
+        ).assign(
+            event_ts=lambda d: pd.to_datetime(d.pop("ts"), unit="s").astype(
+                "datetime64[us]"
+            )
+        ).to_parquet(src / name, index=False)
+
+    a, b = "https://hostA.test/p", "https://hostB.test/p"
+    # burst: 3 hostA failures within the 30s gap; hostA success at 107
+    # must not join the session; hostB single failure = not a burst
+    on_time = [
+        (a, False, 10, 100),
+        (a, True, 10, 107),
+        (a, False, 10, 112),
+        (a, False, 10, 125),
+        (b, False, 10, 118),
+    ]
+    batch_file("b1.parquet", on_time)
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    agg = sessionized_error_bursts(
+        stream, gap="30 seconds", watermark="60 seconds", min_failures=3
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("bursts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def wait_rows(n, timeout=60):
+        t0 = time.time()
+        while time.time() - t0 < timeout:
+            if sum(p["numInputRows"] for p in q.recentProgress) >= n:
+                return
+            time.sleep(0.3)
+        raise AssertionError(f"stream stalled before {n} input rows")
+
+    wait_rows(5)  # b1 done → watermark = 125 - 60 = 65s
+    # late failure at t=30 (< 65s cutoff) must be dropped; a second
+    # on-time hostA failure at t=210 opens a separate (non-burst)
+    # session — 85s after the burst's last event, outside the gap
+    late_and_more = [(a, False, 10, 30), (a, False, 10, 210)]
+    batch_file("b2.parquet", late_and_more)
+    wait_rows(7)
+    # failure-typed heartbeat at t=1000 pushes the watermark to 940s,
+    # closing every real session; its own session [1000, 1030) stays
+    # open forever, so it never emits in append mode
+    batch_file("b3.parquet", [("https://flusher.test/hb", False, 10, 1000)])
+    wait_rows(8)
+    time.sleep(2)  # one extra trigger to emit the newly closed sessions
+    q.stop()
+
+    def key(r):
+        return (
+            r["host"],
+            r["burst_start"].timestamp(),
+            r["burst_end"].timestamp(),
+            r["n_failures"],
+            r["is_burst"],
+        )
+
+    streamed = sorted(key(r) for r in spark.table("bursts").collect())
+
+    # batch replay of the same plan over the ON-TIME events only
+    on_time_df = spark.createDataFrame(
+        pd.DataFrame(
+            on_time + [late_and_more[1]],
+            columns=["url_key", "success", "content_length", "ts"],
+        ).assign(
+            event_ts=lambda d: pd.to_datetime(d.pop("ts"), unit="s").astype(
+                "datetime64[us]"
+            )
+        )
+    )
+    batch_rows = sessionized_error_bursts(
+        on_time_df, gap="30 seconds", watermark="60 seconds", min_failures=3
+    ).collect()
+    expected = sorted(key(r) for r in batch_rows)
+    assert streamed == expected, (streamed, expected)
+
+    by_host_start = {(h, s): (n, ib) for h, s, e, n, ib in streamed}
+    # the hostA burst: 3 failures 100..125 merged into one session
+    assert by_host_start[("hostA.test", 100.0)] == (3, True)
+    # hostB's single failure and hostA's t=210 failure are not bursts
+    assert by_host_start[("hostB.test", 118.0)] == (1, False)
+    assert by_host_start[("hostA.test", 210.0)] == (1, False)
+    # the late t=30 failure left no session
+    assert ("hostA.test", 30.0) not in by_host_start

@@ -44,6 +44,7 @@ import json
 import os
 import shutil
 import time
+import uuid
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -137,6 +138,26 @@ class CrawlConfig:
     # frames (an ordered committer preserves the crash-recovery
     # protocol). False forces the fully ordered commit path.
     pipeline_commits: bool = True
+    # pipelined SINKS on the ordered path (r4): even when frontier/seen
+    # must commit ordered-and-durable-first (real fetcher, politeness
+    # deferrals, cuckoo filters, page upserts), the fetch_log/documents/
+    # blocked sinks + metrics + meta only need the persisted `fetched`
+    # frame — they land on the background committer thread (prefix-
+    # chained, so meta still never claims a round whose files aren't
+    # durable) while the next round proceeds from the already-written
+    # frontier/seen. Caveat on a real cluster with a real fetcher:
+    # losing cached `fetched` blocks mid-sink recomputes
+    # nondeterministic lineage, so a sink row may reflect a re-fetch of
+    # the same URL; frontier/seen (the crawl's own state) are derived
+    # durable-first and cannot diverge. Set False for byte-stable sinks
+    # at the cost of blocking each round on its sink writes.
+    pipeline_sinks: bool = True
+    # pipelined-mode in-memory seen chain compaction: every K rounds,
+    # re-root the anti-join's seen frame on the durable seen table
+    # instead of the growing union of per-round localCheckpoint legs —
+    # bounds plan depth (and lets GC release superseded checkpoint
+    # blocks) for 1000-round crawls. 0 disables compaction.
+    seen_compact_rounds: int = 16
 
 
 @dataclass
@@ -193,6 +214,17 @@ class CrawlEngine:
         )
         self.bloom: BroadcastBloom | ShardedBloom | None = None
         self._bloom_epoch = 0
+        # run-unique store namespace (r4): epoch numbering restarts at 0
+        # per engine instance, so a RESUMED run on the same state_dir
+        # would otherwise re-publish to the dead run's epoch paths —
+        # and the executor-side shard cache (operators/seen._SHARD_CACHE)
+        # is keyed by absolute path, so a reused Python worker could
+        # serve a stale pre-crash bitmap for a post-resume probe. The
+        # nonce makes every engine instance's store paths disjoint; the
+        # dead run's orphan epoch dirs are pruned at run() start (the
+        # store is derived state, always rebuilt from the durable seen
+        # table).
+        self._bloom_nonce = uuid.uuid4().hex[:8]
         self._bloom_dirty = False
         self._bloom_probe_view = None
         self._fetcher = fetcher
@@ -259,7 +291,7 @@ class CrawlEngine:
                 os.path.join(
                     self.cfg.state_dir,
                     "bloom_store",
-                    f"epoch_{self._bloom_epoch}",
+                    f"epoch_{self._bloom_nonce}_{self._bloom_epoch}",
                 )
             )
             # keep exactly one previous epoch alive: the prior round's
@@ -404,6 +436,13 @@ class CrawlEngine:
             shutil.rmtree(self.cfg.state_dir)
 
         meta = self._read_meta() if not fresh else None
+        # prune the bloom store wholesale: it is derived state (always
+        # rebuilt from the durable seen table below) and a resumed run
+        # must never mmap a dead run's epoch files — see _bloom_nonce
+        shutil.rmtree(
+            os.path.join(self.cfg.state_dir, "bloom_store"),
+            ignore_errors=True,
+        )
         seeds = self._seeds()
         seeds_dim = F.broadcast(self._seeds_dim(seeds))
 
@@ -430,6 +469,9 @@ class CrawlEngine:
 
         frontier = self._read_round("frontier", rnd)
         seen = self.read_all("seen").select("siteid", "url_key", "host_bucket")
+        # pipelined-mode union-chain depth (1 = rooted on the durable
+        # table); observable for the compaction-bound test
+        self._seen_union_legs = 1
         # lazy bloom: only built (once, from the seen table) after the
         # seen set outgrows the plain anti-join; below that the bloom
         # build/collect per round is pure overhead
@@ -936,6 +978,29 @@ class CrawlEngine:
                     seen = seen.unionByName(
                         new_frontier.select("siteid", "url_key", "host_bucket")
                     )
+                    self._seen_union_legs += 1
+                    if (
+                        self.cfg.seen_compact_rounds
+                        and r % self.cfg.seen_compact_rounds == 0
+                    ):
+                        # bound the union chain (r3 verdict watch item):
+                        # after K rounds the anti-join's seen frame is a
+                        # union of K checkpointed legs — planning cost
+                        # grows linearly with round count and every
+                        # leg's checkpoint blocks stay pinned. Re-root
+                        # on the durable seen table (constant plan
+                        # depth, one parquet scan) once its writes are
+                        # down; superseded checkpoint blocks are then
+                        # GC-released. Draining the committer here is
+                        # the amortized price — once per K rounds.
+                        seen_fut.result()
+                        for f in commit_futs:
+                            f.result()
+                        commit_futs.clear()
+                        seen = self.read_all("seen").select(
+                            "siteid", "url_key", "host_bucket"
+                        )
+                        self._seen_union_legs = 1
                     continue
 
                 # ---- ordered commit path (nondeterministic fetcher,
@@ -998,29 +1063,15 @@ class CrawlEngine:
                     self._bloom_add(self.read_all("seen"))
 
                 t_filters = time.perf_counter()
-                for f in sink_futs:
-                    f.result()  # surface sink errors before committing meta
-                t_sinks = time.perf_counter()
-
-                # S5 crawl-page upsert (mysql.py:135-142): one row per
-                # page keyed (siteid, url_key), last write wins — a real
-                # Iceberg MERGE INTO when a catalog is configured, else
-                # the merge-equivalent parquet generation swap
-                if self.cfg.upsert_pages:
-                    self._pages_table().merge(self._read_round("fetch_log", r))
-
                 stats.total_visits += batch_count
                 stats.rounds = r
-                now = time.perf_counter()
-                round_metrics = {
+                base_metrics = {
                     "round": r,
                     "visited": batch_count,
                     "frontier": frontier_count,
                     "deferred": frontier_count - batch_count,
                     "new_frontier": _parquet_rows(self._p("frontier", r)),
                     "new_seen": _parquet_rows(self._p("seen", r)),
-                    "blocked": _parquet_rows(self._p("blocked", r)),
-                    "documents": _parquet_rows(self._p("documents", r)),
                     # per-phase wall ms (F6 observability): where a
                     # round's latency went — plan build, seen commit
                     # (materializes the persisted new_frontier), wait
@@ -1031,16 +1082,82 @@ class CrawlEngine:
                     "ms_seen_commit": round((t_seen - t_plan) * 1000, 1),
                     "ms_frontier_wait": round((t_frontier - t_seen) * 1000, 1),
                     "ms_filters": round((t_filters - t_frontier) * 1000, 1),
-                    "ms_sinks_wait": round((t_sinks - t_filters) * 1000, 1),
-                    "ms_round": round((now - t_round) * 1000, 1),
                 }
-                stats.per_round.append(round_metrics)
-                self._append_metrics(round_metrics)
-                self._write_meta(r, stats.total_visits)
 
-                fetched.unpersist()
-                cand.unpersist()
-                new_frontier.unpersist()
+                if self.cfg.pipeline_sinks:
+                    # r4: the sinks + upsert + metrics + meta land on
+                    # the background committer (prefix-chained — see the
+                    # pipelined path) while the next round proceeds from
+                    # the ALREADY-DURABLE frontier/seen written above.
+                    # The round's critical path no longer waits on its
+                    # sink jobs: ms_sinks_wait = 0 by construction.
+                    def _commit_round_ordered(
+                        r=r,
+                        prev=(commit_futs[-1] if commit_futs else None),
+                        futs=tuple(sink_futs),
+                        visits=stats.total_visits,
+                        base=base_metrics,
+                        t0=t_round,
+                        fetched=fetched,
+                        cand=cand,
+                    ):
+                        if prev is not None:
+                            prev.result()  # poisoned prefix ⇒ no meta here
+                        for f in futs:
+                            f.result()
+                        # S5 crawl-page upsert (mysql.py:135-142): one
+                        # row per page keyed (siteid, url_key), last
+                        # write wins — needs the durable fetch_log, so
+                        # it belongs to the commit, not the round loop.
+                        # Re-running it on crash-resume is idempotent
+                        # (same keys, same data ⇒ same current rows).
+                        if self.cfg.upsert_pages:
+                            self._pages_table().merge(
+                                self._read_round("fetch_log", r)
+                            )
+                        m = {
+                            **base,
+                            "blocked": _parquet_rows(self._p("blocked", r)),
+                            "documents": _parquet_rows(
+                                self._p("documents", r)
+                            ),
+                            "ms_sinks_wait": 0.0,
+                            "ms_round": round(
+                                (time.perf_counter() - t0) * 1000, 1
+                            ),
+                        }
+                        stats.per_round.append(m)
+                        self._append_metrics(m)
+                        self._write_meta(r, visits)
+                        fetched.unpersist()
+                        cand.unpersist()
+
+                    commit_futs.append(
+                        commit_pool.submit(_commit_round_ordered)
+                    )
+                    new_frontier.unpersist()
+                else:
+                    for f in sink_futs:
+                        f.result()  # surface sink errors before meta
+                    t_sinks = time.perf_counter()
+                    if self.cfg.upsert_pages:
+                        self._pages_table().merge(
+                            self._read_round("fetch_log", r)
+                        )
+                    now = time.perf_counter()
+                    round_metrics = {
+                        **base_metrics,
+                        "blocked": _parquet_rows(self._p("blocked", r)),
+                        "documents": _parquet_rows(self._p("documents", r)),
+                        "ms_sinks_wait": round((t_sinks - t_filters) * 1000, 1),
+                        "ms_round": round((now - t_round) * 1000, 1),
+                    }
+                    stats.per_round.append(round_metrics)
+                    self._append_metrics(round_metrics)
+                    self._write_meta(r, stats.total_visits)
+                    fetched.unpersist()
+                    cand.unpersist()
+                    new_frontier.unpersist()
 
                 frontier = self._read_round("frontier", r)
                 seen = self.read_all("seen").select("siteid", "url_key")

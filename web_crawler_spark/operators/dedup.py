@@ -241,7 +241,31 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _gram_arrays(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _gram_arrays(
+    docs: DataFrame, id_col: str, text_col: str, n: int, char: bool = False
+) -> DataFrame:
+    """Distinct gram sets per doc. ``char=False``: word n-grams over
+    whitespace tokens (the ngram-Jaccard tier). ``char=True``: byte/char
+    k-shingles of the lowercased text — the SAME shingle universe the
+    minhash signature kernel hashes (functions/text._shingle_hashes:
+    lowercase, sliding k-window, whole-string window when shorter than
+    k, the empty string for empty docs), so exact Jaccard over these
+    sets is the matched ground truth for the minhash recall gate."""
+    if char:
+        t = F.lower(F.col(text_col))
+        grams = (
+            F.when(F.length(t) == 0, F.array(F.lit("")))
+            .when(F.length(t) <= n, F.array(t))
+            .otherwise(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(t) - (n - 1)),
+                        lambda i: t.substr(i, F.lit(n)),
+                    )
+                )
+            )
+        )
+        return docs.select(F.col(id_col).alias("_id"), grams.alias("grams"))
     toks = docs.select(
         F.col(id_col).alias("_id"),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("w"),
@@ -358,6 +382,7 @@ def ngram_jaccard_pairs_blocked(
     n: int = 3,
     threshold: float = 0.5,
     num_blocks: int = 8,
+    char: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via blocked tile intersection counting
     — the mid-scale exact plan (≲10^5-10^6 docs per comparable corpus).
@@ -396,7 +421,7 @@ def ngram_jaccard_pairs_blocked(
     integral_id = dict(docs.dtypes)[id_col] in (
         "tinyint", "smallint", "int", "bigint",
     )
-    ga = _gram_arrays(docs, id_col, text_col, n)
+    ga = _gram_arrays(docs, id_col, text_col, n, char=char)
     if integral_id:
         id_expr = F.col("_id").cast("long")
     else:

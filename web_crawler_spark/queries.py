@@ -753,18 +753,18 @@ FROM lab
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (rows-only check: Arrow-UDF
-    signatures aren't SQL-expressible)."""
+    """MinHash+LSH near-dup pairs (rows-only; recall gated by
+    `dedup_minhash_recall` against exact char-shingle Jaccard)."""
     d = _twide(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(
-        d, "doc_id", "text", num_perm=64, bands=16, shingle_k=5, threshold=0.5
-    )
+    return minhash_lsh_pairs(d, "doc_id", "text", **MINHASH_PARAMS)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only check)."""
+    """SimHash near-dup pairs (rows-only; recall gated by
+    `dedup_simhash_recall` — the 4-chunk blocking is provably lossless
+    for hamming ≤ 3 and the gate measures exactly that)."""
     d = _twide(spark, sf_dir, "documents")
-    return simhash_pairs(d, "doc_id", "text", max_hamming=3)
+    return simhash_pairs(d, "doc_id", "text", max_hamming=SIMHASH_MAX_HAMMING)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -825,10 +825,11 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _twide(spark, sf_dir, "embeddings")
-    # operator default num_bits=32 (8-bit bands): the A/B-selected
-    # config — 4-bit bands made 23% of ALL sf0.1 pairs collide, which
-    # is exactly the candidate blowup LSH exists to avoid at scale
-    return embedding_cosine_pairs_lsh(e, dim=64, threshold=0.4, sim_round=4)
+    # num_bits=32 (8-bit bands): the A/B-selected config — 4-bit bands
+    # made 23% of ALL sf0.1 pairs collide, which is exactly the
+    # candidate blowup LSH exists to avoid at scale. Recall gated by
+    # `dedup_embedding_lsh_recall`.
+    return embedding_cosine_pairs_lsh(e, sim_round=4, **EMB_LSH_PARAMS)
 
 
 # ---------------------------------------------------------------------------
@@ -1018,38 +1019,441 @@ SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim FROM (
 """
 
 
+# shared parameter sets: the registered approximate queries and their
+# recall gates (and the DuckDB-side mirrors in oracle/approx_mirror)
+# must run the EXACT same configuration — one source of truth here.
+# ANN/pairs configs selected by the r4 measured recall-vs-candidates
+# grid (BENCH.md §recall): testdata neighbors sit at cos ≈ 0.33-0.37
+# and near-dup pairs at 0.4-0.6 — bit agreement p ≈ 0.62-0.67, barely
+# above random — so high recall needs many bands plus single-bit-flip
+# multi-probe. 16 bands × 8 bits + probe measured: topk recall@5
+# 0.94-0.98, pair recall 0.91-0.97; IVF nprobe=10/16 measured
+# 0.86-0.92. Floors in RECALL_FLOORS_BP sit under the measured values.
+ANN_LSH_PARAMS = dict(dim=64, k=5, num_bits=128, bands=16, multiprobe=True)
+ANN_IVF_PARAMS = dict(dim=64, k=5, num_centroids=16, nprobe=10, iters=2)
+IVF_SAMPLE_PARAMS = dict(sample_rate=0.5, seed=13, salt="ivf")
+MINHASH_PARAMS = dict(num_perm=64, bands=16, shingle_k=5, threshold=0.5)
+SIMHASH_MAX_HAMMING = 3
+EMB_LSH_PARAMS = dict(
+    dim=64, threshold=0.4, num_bits=128, bands=16, multiprobe=True
+)
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str):
+    """Deterministic sample-trained IVF coarse quantizer, cached per
+    (app, sf_dir): md5-hash sample → driver numpy Lloyd (FAISS
+    practice — IVF centroids train on a bounded sample, never the
+    corpus). Reproducible at any parallelism, which is what lets the
+    recall oracle rebuild the identical quantizer."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cache = _ivf_centroids.__dict__.setdefault("_cache", {})
+    if key not in cache:
+        from web_crawler_spark.operators.similarity import (
+            sample_train_centroids,
+        )
+
+        cache[key] = sample_train_centroids(
+            _t(spark, sf_dir, "embeddings"),
+            dim=ANN_IVF_PARAMS["dim"],
+            k=ANN_IVF_PARAMS["num_centroids"],
+            iters=ANN_IVF_PARAMS["iters"],
+            **IVF_SAMPLE_PARAMS,
+        )
+    return cache[key]
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5 (rows-only): distributed spherical
-    k-means coarse quantizer, nprobe-cell probe, exact in-cell
-    re-rank — the second scale path beside LSH."""
+    """IVF approximate top-5 (rows-only; recall gated by
+    `ann_ivf_recall`): spherical k-means coarse quantizer trained on a
+    deterministic md5-hash sample, nprobe-cell probe, exact in-cell
+    re-rank — the second scale path beside LSH. The sample-trained
+    quantizer (r4) replaces the distributed `kmeans_fit` here: its
+    centroids are bit-reproducible at any parallelism (kmeans_fit's
+    partition-order float sums are not), so the query output is
+    deterministic and driver-oracle-able; `kmeans_fit` remains the
+    in-cluster trainer for corpora whose sample can't sit on the
+    driver."""
     from web_crawler_spark.operators.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
     return ivf_topk(
         e,
         e.filter(F.col("vec_id") < 10),
-        dim=64,
-        k=5,
-        num_centroids=16,
-        nprobe=4,
-        iters=2,
+        dim=ANN_IVF_PARAMS["dim"],
+        k=ANN_IVF_PARAMS["k"],
+        num_centroids=ANN_IVF_PARAMS["num_centroids"],
+        nprobe=ANN_IVF_PARAMS["nprobe"],
+        iters=ANN_IVF_PARAMS["iters"],
         sim_round=4,
+        centroids=_ivf_centroids(spark, sf_dir),
     )
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-5 (rows-only: approximate by
-    design; the 100 TB path where the cross product is impossible).
+    """LSH-bucketed approximate top-5 (rows-only; recall gated by
+    `ann_lsh_recall`; the 100 TB path where the cross product is
+    impossible).
 
-    num_bits=16 (4-bit bands) is a deliberate RECALL choice for top-k
-    — unlike the near-dup pairs query, where 4-bit bands blow up the
-    candidate set (fixed in r3), a top-k probe needs moderate-cosine
-    neighbors to collide at all (P[4-bit band] ≈ (1-θ/π)^4 vs ^8).
-    Candidates here are bounded by queries × bucket occupancy, not
-    corpus²; at larger num_bits add multi-probe instead."""
+    r4 config: 16 bands × 8 bits + single-bit-flip MULTI-PROBE on the
+    query side — the lever the r3 docstring named, sized by the
+    measured recall grid (BENCH.md §recall). The pre-r4 num_bits=16
+    config bought recall by fattening every corpus bucket (4-bit bands
+    ⇒ 16 buckets/band), which scales candidates with the corpus;
+    multi-probe + more bands instead keep full band width (index rows
+    = bands per vector, probe fan-out constant per query). Measured
+    recall@5: 0.94-0.98; floor asserted by the driver-oracled
+    companion row."""
     e = _t(spark, sf_dir, "embeddings")
     return lsh_topk(
-        e, e.filter(F.col("vec_id") < 10), dim=64, k=5, num_bits=16, sim_round=4
+        e,
+        e.filter(F.col("vec_id") < 10),
+        dim=ANN_LSH_PARAMS["dim"],
+        k=ANN_LSH_PARAMS["k"],
+        num_bits=ANN_LSH_PARAMS["num_bits"],
+        bands=ANN_LSH_PARAMS["bands"],
+        multiprobe=ANN_LSH_PARAMS["multiprobe"],
+        sim_round=4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# recall gates for the approximate tiers (r4): each approximate query
+# gets a driver-oracled companion row measuring recall vs the exact
+# tier on the same fixtures, with an asserted floor. The Spark side
+# computes BOTH tiers live (distributed); the DuckDB side computes the
+# exact tier itself in SQL and reads the approximate tier from a
+# parquet pre-materialized by the pure-pandas mirror
+# (oracle/approx_mirror.py — same deterministic kernels via the
+# pandas_udf .func views, independent orchestration). A green row ⇒
+# the distributed candidate generation / re-rank / top-k reproduces
+# the in-memory reference exactly AND recall clears the floor.
+# All recall arithmetic is INTEGER (basis points via floor division)
+# so the two engines hash identically with zero float risk.
+# ---------------------------------------------------------------------------
+
+# floors in basis points (recall ≥ floor_bp/10000), set from measured
+# values at sf0.01 AND sf0.1 with safety margin (see BENCH.md §recall)
+RECALL_FLOORS_BP = {
+    "ann_lsh_recall": 8500,  # measured 9400 (sf0.1) / 9800 (sf0.01)
+    "ann_ivf_recall": 8000,  # measured 8600 (sf0.1) / 9200 (sf0.01)
+    "dedup_minhash_recall": 9500,  # measured 10000 / 10000
+    "dedup_simhash_recall": 10000,  # provably lossless (pigeonhole)
+    "dedup_embedding_lsh_recall": 8500,  # measured 9110 / 9660
+}
+
+
+def _mirror_sf_dir() -> str:
+    """The sf dir the approximate-side mirror parquet is built from.
+    Must equal the sf_dir the driver passes to the Spark queries: the
+    driver runs correctness at sf0.01 (the default here); local runs
+    via tools/validate_oracles.py export the same env var it reads."""
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _recall_summary(
+    tier: str, exact: DataFrame, approx: DataFrame, keys: list[str]
+) -> DataFrame:
+    """One-row integer recall summary: |approx ∩ exact| / |exact|."""
+    floor_bp = RECALL_FLOORS_BP[tier]
+    hit = approx.select(*keys).join(exact.select(*keys), keys, "left_semi")
+    e = exact.agg(F.count("*").alias("n_exact"))
+    a = approx.agg(F.count("*").alias("n_approx"))
+    h = hit.agg(F.count("*").alias("n_hit"))
+    return (
+        e.crossJoin(a)
+        .crossJoin(h)
+        .select(
+            F.lit(tier).alias("tier"),
+            "n_exact",
+            "n_approx",
+            "n_hit",
+            F.when(
+                F.col("n_exact") > 0,
+                F.expr("n_hit * 10000 div n_exact"),
+            )
+            .otherwise(F.lit(10000))
+            .cast("long")
+            .alias("recall_bp"),
+            F.lit(floor_bp).cast("long").alias("floor_bp"),
+            (
+                F.col("n_hit") * 10000 >= F.lit(floor_bp) * F.col("n_exact")
+            ).alias("meets_floor"),
+        )
+    )
+
+
+def _recall_tail_sql(tier: str) -> str:
+    floor_bp = RECALL_FLOORS_BP[tier]
+    return f"""
+SELECT '{tier}' AS tier, n_exact, n_approx, n_hit,
+       CAST(CASE WHEN n_exact > 0 THEN n_hit * 10000 // n_exact
+                 ELSE 10000 END AS BIGINT) AS recall_bp,
+       CAST({floor_bp} AS BIGINT) AS floor_bp,
+       n_hit * 10000 >= {floor_bp} * n_exact AS meets_floor
+FROM m
+"""
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of `ann_lsh_topk` vs `ann_brute_force_topk` (same 10
+    queries, same corpus), floor-asserted."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(e, q, k=ANN_LSH_PARAMS["k"], sim_round=None)
+    approx = lsh_topk(
+        e,
+        q,
+        dim=ANN_LSH_PARAMS["dim"],
+        k=ANN_LSH_PARAMS["k"],
+        num_bits=ANN_LSH_PARAMS["num_bits"],
+        bands=ANN_LSH_PARAMS["bands"],
+        multiprobe=ANN_LSH_PARAMS["multiprobe"],
+        sim_round=None,
+    )
+    return _recall_summary(
+        "ann_lsh_recall", exact, approx, ["query_id", "neighbor_id"]
+    )
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of `ann_ivf_topk` (sample-trained quantizer, nprobe=4)
+    vs brute force, floor-asserted."""
+    from web_crawler_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(e, q, k=ANN_IVF_PARAMS["k"], sim_round=None)
+    approx = ivf_topk(
+        e,
+        q,
+        dim=ANN_IVF_PARAMS["dim"],
+        k=ANN_IVF_PARAMS["k"],
+        num_centroids=ANN_IVF_PARAMS["num_centroids"],
+        nprobe=ANN_IVF_PARAMS["nprobe"],
+        iters=ANN_IVF_PARAMS["iters"],
+        sim_round=None,
+        centroids=_ivf_centroids(spark, sf_dir),
+    )
+    return _recall_summary(
+        "ann_ivf_recall", exact, approx, ["query_id", "neighbor_id"]
+    )
+
+
+def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair recall of `dedup_minhash_lsh` vs EXACT Jaccard over the
+    same 5-char shingle universe at the matched threshold (0.5) — the
+    ground truth the minhash signature estimates."""
+    d = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs_blocked(
+        d,
+        "doc_id",
+        "text",
+        n=MINHASH_PARAMS["shingle_k"],
+        threshold=MINHASH_PARAMS["threshold"],
+        char=True,
+    )
+    approx = minhash_lsh_pairs(d, "doc_id", "text", **MINHASH_PARAMS)
+    return _recall_summary(
+        "dedup_minhash_recall", exact, approx, ["id_a", "id_b"]
+    )
+
+
+def q_dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair recall of `dedup_simhash` (4-chunk blocking) vs the exact
+    all-pairs hamming ≤ 3 set over the same simhash values. Pigeonhole
+    guarantees 1.0 — this row MEASURES that the distributed blocking
+    join actually delivers it (floor = 10000, exact). The exact side's
+    all-pairs self-join is a verification tier only (quadratic by
+    definition); the registered scale path stays chunk-blocked."""
+    from web_crawler_spark.functions.text import simhash_udf
+
+    d = _t(spark, sf_dir, "documents")
+    hashed = d.select(
+        F.col("doc_id").alias("_id"), simhash_udf(F.col("text")).alias("sh")
+    ).localCheckpoint(eager=False)
+    l, r = hashed.alias("l"), hashed.alias("r")
+    exact = (
+        l.join(r, F.col("l._id") < F.col("r._id"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh")))
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+    )
+    approx = simhash_pairs(
+        d, "doc_id", "text", max_hamming=SIMHASH_MAX_HAMMING
+    )
+    return _recall_summary(
+        "dedup_simhash_recall", exact, approx, ["id_a", "id_b"]
+    )
+
+
+def q_dedup_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair recall of `dedup_embedding_lsh` vs the exact cosine ≥ 0.4
+    pair set (`dedup_embedding`), floor-asserted."""
+    from web_crawler_spark.operators.similarity import (
+        embedding_cosine_pairs,
+        embedding_cosine_pairs_lsh,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    exact = embedding_cosine_pairs(
+        e, threshold=EMB_LSH_PARAMS["threshold"], num_blocks=8, sim_round=None
+    )
+    approx = embedding_cosine_pairs_lsh(e, sim_round=None, **EMB_LSH_PARAMS)
+    return _recall_summary(
+        "dedup_embedding_lsh_recall", exact, approx, ["id_a", "id_b"]
+    )
+
+
+_ANN_EXACT_CTES = """
+q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+scored AS (SELECT qid, nid, list_cosine_similarity(qv, cv) AS cs
+           FROM q, c WHERE qid <> nid),
+exact AS (SELECT qid AS query_id, nid AS neighbor_id FROM (
+  SELECT qid, nid,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cs DESC, nid ASC) AS rk
+  FROM scored) WHERE rk <= 5)
+"""
+
+_RECALL_M_SQL = """
+m AS (SELECT (SELECT count(*) FROM exact) AS n_exact,
+             (SELECT count(*) FROM approx) AS n_approx,
+             (SELECT count(*) FROM approx a
+              JOIN exact e USING ({keys})) AS n_hit)
+"""
+
+
+def _ann_recall_oracle(tier: str, write_fn) -> str:
+    p = write_fn()
+    return (
+        "WITH "
+        + _ANN_EXACT_CTES
+        + f", approx AS (SELECT query_id, neighbor_id FROM read_parquet('{p}')),"
+        + _RECALL_M_SQL.format(keys="query_id, neighbor_id")
+        + _recall_tail_sql(tier)
+    )
+
+
+def _ann_lsh_recall_oracle() -> str:
+    from web_crawler_spark.oracle.approx_mirror import write_ann_lsh_topk
+
+    return _ann_recall_oracle(
+        "ann_lsh_recall",
+        lambda: write_ann_lsh_topk(
+            _mirror_sf_dir(),
+            dim=ANN_LSH_PARAMS["dim"],
+            k=ANN_LSH_PARAMS["k"],
+            num_bits=ANN_LSH_PARAMS["num_bits"],
+            bands=ANN_LSH_PARAMS["bands"],
+            multiprobe=ANN_LSH_PARAMS["multiprobe"],
+        ),
+    )
+
+
+def _ann_ivf_recall_oracle() -> str:
+    from web_crawler_spark.oracle.approx_mirror import write_ann_ivf_topk
+
+    return _ann_recall_oracle(
+        "ann_ivf_recall",
+        lambda: write_ann_ivf_topk(
+            _mirror_sf_dir(),
+            dim=ANN_IVF_PARAMS["dim"],
+            k=ANN_IVF_PARAMS["k"],
+            num_centroids=ANN_IVF_PARAMS["num_centroids"],
+            nprobe=ANN_IVF_PARAMS["nprobe"],
+            iters=ANN_IVF_PARAMS["iters"],
+            **IVF_SAMPLE_PARAMS,
+        ),
+    )
+
+
+def _minhash_recall_oracle() -> str:
+    from web_crawler_spark.oracle.approx_mirror import write_minhash_pairs
+
+    p = write_minhash_pairs(_mirror_sf_dir(), **MINHASH_PARAMS)
+    k = MINHASH_PARAMS["shingle_k"]
+    thr = MINHASH_PARAMS["threshold"]
+    return (
+        f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(t) = 0 THEN ['']
+              WHEN len(t) <= {k} THEN [t]
+              ELSE list_distinct(list_transform(
+                     range(1, len(t) - {k - 2}),
+                     i -> substring(t, CAST(i AS INT), {k}))) END AS grams
+  FROM (SELECT doc_id, lower(text) AS t FROM documents)
+),
+e AS (SELECT doc_id, unnest(grams) AS gr FROM g),
+sizes AS (SELECT doc_id, len(grams) AS n FROM g),
+inter AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS ni
+  FROM e l JOIN e r ON l.gr = r.gr AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON inter.id_a = sa.doc_id
+  JOIN sizes sb ON inter.id_b = sb.doc_id
+  WHERE ni / (sa.n + sb.n - ni) >= {thr}
+),
+approx AS (SELECT id_a, id_b FROM read_parquet('{p}')),
+"""
+        + _RECALL_M_SQL.format(keys="id_a, id_b").lstrip()
+        + _recall_tail_sql("dedup_minhash_recall")
+    )
+
+
+def _simhash_recall_oracle() -> str:
+    from web_crawler_spark.oracle.approx_mirror import write_simhash_values
+
+    p = write_simhash_values(_mirror_sf_dir())
+    h = SIMHASH_MAX_HAMMING
+    chunk_eq = " OR ".join(
+        f"((a.sh >> {16 * i}) & 65535) = ((b.sh >> {16 * i}) & 65535)"
+        for i in range(4)
+    )
+    return (
+        f"""
+WITH sh AS (SELECT doc_id, sh FROM read_parquet('{p}')),
+p2 AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.sh, b.sh)) AS ham,
+         ({chunk_eq}) AS blocked
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+),
+exact AS (SELECT id_a, id_b FROM p2 WHERE ham <= {h}),
+approx AS (SELECT id_a, id_b FROM p2 WHERE blocked AND ham <= {h}),
+"""
+        + _RECALL_M_SQL.format(keys="id_a, id_b").lstrip()
+        + _recall_tail_sql("dedup_simhash_recall")
+    )
+
+
+def _embedding_lsh_recall_oracle() -> str:
+    from web_crawler_spark.oracle.approx_mirror import (
+        write_embedding_lsh_pairs,
+    )
+
+    p = write_embedding_lsh_pairs(_mirror_sf_dir(), **EMB_LSH_PARAMS)
+    thr = EMB_LSH_PARAMS["threshold"]
+    return (
+        f"""
+WITH exact AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= {thr}
+),
+approx AS (SELECT id_a, id_b FROM read_parquet('{p}')),
+"""
+        + _RECALL_M_SQL.format(keys="id_a, id_b").lstrip()
+        + _recall_tail_sql("dedup_embedding_lsh_recall")
     )
 
 
@@ -1733,6 +2137,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_brute_force_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
+    "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_ivf_recall": q_ann_ivf_recall,
+    "dedup_minhash_recall": q_dedup_minhash_recall,
+    "dedup_simhash_recall": q_dedup_simhash_recall,
+    "dedup_embedding_lsh_recall": q_dedup_embedding_lsh_recall,
     "crawl_visits": q_crawl_visits,
     "crawl_documents": q_crawl_documents,
     "crawl_blocked_report": q_crawl_blocked_report,
@@ -1781,5 +2190,29 @@ ORACLES: dict[str, str] = {
     # no oracle (rows-only, by design): dedup_minhash_lsh, dedup_simhash,
     # dedup_embedding_lsh, ann_lsh_topk, ann_ivf_topk (approximate /
     # signature UDFs not SQL-expressible); pytest gates their semantics
-    # against pure-Python oracles instead
+    # against pure-Python oracles, and each has a DRIVER-ORACLED recall
+    # companion row (see LAZY_ORACLES) asserting a recall floor vs the
+    # exact tier on the same fixtures
 }
+
+# oracle SQL that must be built lazily (the approximate-side mirror
+# pre-materializes parquet at build time — too heavy for module
+# import, which bench/tests hit constantly). Resolved by
+# build_oracles(), which __spark_entry__.oracle_sql() calls.
+LAZY_ORACLES: dict[str, Callable[[], str]] = {
+    "ann_lsh_recall": _ann_lsh_recall_oracle,
+    "ann_ivf_recall": _ann_ivf_recall_oracle,
+    "dedup_minhash_recall": _minhash_recall_oracle,
+    "dedup_simhash_recall": _simhash_recall_oracle,
+    "dedup_embedding_lsh_recall": _embedding_lsh_recall_oracle,
+}
+
+
+def build_oracles() -> dict[str, str]:
+    """The full oracle map: static SQL plus the lazily-built recall
+    oracles (which write the approximate-side mirror parquet as a side
+    effect)."""
+    out = dict(ORACLES)
+    for name, fn in LAZY_ORACLES.items():
+        out[name] = fn()
+    return out

@@ -63,3 +63,55 @@ def windowed_host_stats(
             "bytes",
         )
     )
+
+
+def sessionized_error_bursts(
+    events: DataFrame,
+    ts_col: str = "event_ts",
+    gap: str = "30 seconds",
+    watermark: str = "60 seconds",
+    min_failures: int = 3,
+) -> DataFrame:
+    """Per-host SESSION-windowed error-burst detection (r4, the second
+    stateful streaming shape users hit): consecutive fetch FAILURES of
+    one host closer than ``gap`` apart merge into one session
+    (`F.session_window` — dynamic-length windows, unlike the tumbling
+    stats above); a session with ≥ ``min_failures`` failures is a
+    burst — the signal a politeness controller or alerting monitor
+    consumes (host down / blocking us / rate-limiting us).
+
+    Streaming contract: the watermark clock is driven by FAILURE events
+    only — Catalyst pushes the failure filter below the
+    EventTimeWatermark operator (PushPredicateThroughNonJoin allows
+    pushing non-watermark-column predicates through it), so success
+    rows never reach the watermark collector no matter where
+    ``withWatermark`` sits in the chain (measured: the per-batch
+    event-time stats exclude them). A monitor that must close open
+    burst sessions during an all-success recovery period therefore
+    unions a failure-typed heartbeat into the stream; tests use exactly
+    that to flush. Failure events later than ``watermark`` behind the
+    max observed failure time are dropped, and closed sessions' state
+    is reclaimed — unbounded-state-safe. Session merging is an
+    incremental stateful op in streaming and the identical plan runs in
+    batch for replay/backfill (the parity the test pins).
+
+    All JVM hash/state ops; no Python in the stream.
+    """
+    host = F.regexp_extract(F.col("url_key"), r"^https?://([^/]+)", 1)
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .filter(~F.col("success"))
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("s"),
+            host.alias("host"),
+        )
+        .agg(F.count("*").alias("n_failures"))
+        .select(
+            F.col("s.start").alias("burst_start"),
+            F.col("s.end").alias("burst_end"),
+            "host",
+            "n_failures",
+            (F.col("n_failures") >= F.lit(min_failures)).alias("is_burst"),
+        )
+    )
