@@ -158,6 +158,19 @@ class CrawlConfig:
     # bounds plan depth (and lets GC release superseded checkpoint
     # blocks) for 1000-round crawls. 0 disables compaction.
     seen_compact_rounds: int = 16
+    # size spark.sql.shuffle.partitions to the ROUND, not the session
+    # (r4): a 40-row fixture round planning 32-reducer exchanges pays
+    # pure task-scheduling latency (measured ~7% of crawl wall at
+    # sf-bench scale, BENCH.md §3c); a 10^6-row round keeps the
+    # session's full width. Per round the engine sets the conf to
+    # clamp(frontier_rows / shuffle_rows_per_task, min_shuffle_partitions,
+    # session value) and restores the session value when run() exits.
+    # Partition count never changes results (every round op is
+    # partitioning-agnostic by design: min_by aggs, range-partitioned
+    # two-pass rank, hash anti-joins); parity tests run with it on.
+    auto_shuffle_partitions: bool = True
+    shuffle_rows_per_task: int = 2000
+    min_shuffle_partitions: int = 4
 
 
 @dataclass
@@ -614,6 +627,7 @@ class CrawlEngine:
             F.col("depth").alias("first_depth"),
         ]
 
+        session_sp = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
         try:
             while stats.rounds < self.cfg.max_rounds:
                 t_round = time.perf_counter()
@@ -625,6 +639,23 @@ class CrawlEngine:
                 if frontier_count == 0:
                     break
                 r = stats.rounds + 1
+
+                if self.cfg.auto_shuffle_partitions:
+                    # size exchanges to THIS round's data (see CrawlConfig):
+                    # a small round plans narrow exchanges instead of
+                    # session-width ones; a big round keeps full width
+                    self.spark.conf.set(
+                        "spark.sql.shuffle.partitions",
+                        max(
+                            self.cfg.min_shuffle_partitions,
+                            min(
+                                session_sp,
+                                frontier_count
+                                // self.cfg.shuffle_rows_per_task
+                                + 1,
+                            ),
+                        ),
+                    )
 
                 # -- dequeue ------------------------------------------------
                 batch, deferred = dequeue_batch(
@@ -1175,6 +1206,10 @@ class CrawlEngine:
         finally:
             sink_pool.shutdown(wait=True)
             commit_pool.shutdown(wait=True)
+            if self.cfg.auto_shuffle_partitions:
+                self.spark.conf.set(
+                    "spark.sql.shuffle.partitions", session_sp
+                )
         return stats
 
     def resume(self) -> CrawlStats:
