@@ -42,6 +42,8 @@ HEADLINE = [
     "ann_brute_force_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "w1_error_sessions",
+    "w2_event_windows",
 ]
 
 

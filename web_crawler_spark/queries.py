@@ -2104,6 +2104,120 @@ def _x1_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# event-time window queries (r4): the batch faces of the streaming
+# tier's window operators (§2.L), driver-oracled. The same
+# session_window / window plans run under readStream with a watermark
+# (streaming ≡ batch pinned by test_streaming.py); here DuckDB
+# re-derives the windows INDEPENDENTLY — sessions via gaps-and-islands
+# (lag → boundary flag → running sum → group), tumbling via
+# time_bucket — so a green row checks Spark's window semantics against
+# a different formulation, not a translation. Window bounds are
+# emitted as epoch microseconds (BIGINT) so the value hash carries no
+# timestamp-rendering or timezone risk.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+BURST_MIN_EVENTS = 3
+
+
+def q_w1_error_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user SESSION windows over error events (gap 30 min): the
+    batch face of `streaming.windows.sessionized_error_bursts` (same
+    F.session_window plan, host→user_id). Session semantics: an event
+    extends the session iff it lands strictly inside last_ts + gap;
+    end = last_ts + gap."""
+    # parquet ts arrives as TIMESTAMP_NTZ; the session pins UTC, so the
+    # cast is the same instant DuckDB's naive epoch_us() sees
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(
+            F.session_window(
+                F.col("ts"), f"{SESSION_GAP_MIN} minutes"
+            ).alias("s"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_errors"),
+            F.round(F.sum("value"), 4).alias("err_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("s.start")).alias("session_start_us"),
+            F.unix_micros(F.col("s.end")).alias("session_end_us"),
+            "n_errors",
+            (F.col("n_errors") >= BURST_MIN_EVENTS).alias("is_burst"),
+            "err_value",
+        )
+    )
+
+
+ORACLE_W1 = f"""
+WITH err AS (
+  SELECT user_id, ts, value FROM events WHERE event_type = 'error'
+),
+lagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL {SESSION_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM err
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE)
+         AS session_end_us,
+       count(*) AS n_errors,
+       count(*) >= {BURST_MIN_EVENTS} AS is_burst,
+       round(sum(value), 4) AS err_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+def q_w2_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type (the batch
+    face of `streaming.windows.windowed_host_stats`): count + value
+    sum per (window, type). Spark aligns tumbling windows to the 1970
+    epoch; DuckDB's time_bucket to 2000-01-01 — identical boundaries
+    at whole-hour widths."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        e.groupBy(F.window(F.col("ts"), "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_W2 = """
+SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_us,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2151,6 +2265,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "compare_observations": q_compare_observations,
     "a3_classification": q_a3_classification,
+    "w1_error_sessions": q_w1_error_sessions,
+    "w2_event_windows": q_w2_event_windows,
 }
 
 ORACLES: dict[str, str] = {
@@ -2187,6 +2303,8 @@ ORACLES: dict[str, str] = {
     "text_quality": ORACLE_TEXT_QUALITY,
     "ann_brute_force_topk": ORACLE_ANN,
     "compare_observations": ORACLE_COMPARE,
+    "w1_error_sessions": ORACLE_W1,
+    "w2_event_windows": ORACLE_W2,
     # no oracle (rows-only, by design): dedup_minhash_lsh, dedup_simhash,
     # dedup_embedding_lsh, ann_lsh_topk, ann_ivf_topk (approximate /
     # signature UDFs not SQL-expressible); pytest gates their semantics
