@@ -177,3 +177,82 @@ def test_seen_compaction_bounds_plan_with_parity(spark, tmp_path_factory):
         }
     assert results[8]["visits"].equals(results[0]["visits"])
     assert results[8]["seen"].equals(results[0]["seen"])
+
+
+@pytest.mark.parametrize("ordered", [False, True])
+def test_failed_sink_poisons_later_commits_and_resumes(
+    spark, tmp_path_factory, ordered
+):
+    """Prefix durability under a real fault: a background sink write
+    that fails at round 3 must (a) surface as an error from run(),
+    (b) leave meta claiming at most round 2 — the poisoned committer
+    chain must never write meta for a round whose prefix is not fully
+    durable — and (c) leave a state a fresh engine can resume() from
+    to the exact uninterrupted-run result (orphan round files pruned,
+    rounds >= 3 re-run). Parametrized over the pipelined path (default)
+    and the ordered path (forced by the callback fetcher)."""
+    from web_crawler_spark.operators.fetch import make_lookup_fetcher
+
+    cfg = WebGraphConfig(hosts=3, pages_per_host=24)
+    pages = generate_pages(cfg)
+    pages_df = spark.createDataFrame(pages)
+    sites_df = spark.createDataFrame(generate_sites(cfg))
+    fetcher = make_lookup_fetcher(pages) if ordered else None
+
+    def mk(state):
+        return CrawlEngine(
+            spark,
+            pages_df,
+            sites_df,
+            fetcher=fetcher,
+            config=CrawlConfig(state_dir=state),
+        )
+
+    ref_state = str(tmp_path_factory.mktemp(f"poison_ref_{ordered}"))
+    ref = mk(ref_state)
+    ref_stats = ref.run(fresh=True)
+    assert ref_stats.rounds >= 5  # the fault round must be mid-crawl
+
+    state = str(tmp_path_factory.mktemp(f"poison_{ordered}"))
+    eng = mk(state)
+    orig_write = eng._write
+    fired = []
+
+    def flaky_write(df, table, rnd):
+        if table == "documents" and rnd == 3 and not fired:
+            fired.append(True)
+            raise RuntimeError("injected sink failure")
+        return orig_write(df, table, rnd)
+
+    eng._write = flaky_write
+    with pytest.raises(RuntimeError, match="injected sink failure"):
+        eng.run(fresh=True)
+    assert fired
+
+    meta = eng._read_meta()
+    assert meta is not None and meta["round"] <= 2, meta
+
+    eng2 = mk(state)
+    eng2.resume()
+
+    def snap(e):
+        return (
+            e.visits()
+            .orderBy("visit_ord")
+            .select("siteid", "url_key", "visit_ord", "depth")
+            .toPandas()
+            .reset_index(drop=True),
+            e.seen_keys()
+            .orderBy("siteid", "url_key")
+            .toPandas()
+            .reset_index(drop=True),
+            e.read_all("documents")
+            .select("doc_id", "siteid", "visit_ord", "round")
+            .orderBy("doc_id", "visit_ord")
+            .toPandas()
+            .reset_index(drop=True),
+        )
+
+    got, want = snap(eng2), snap(ref)
+    for g, w, name in zip(got, want, ("visits", "seen", "documents")):
+        assert g.equals(w), f"{name} diverged after poisoned-commit resume"
