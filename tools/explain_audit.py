@@ -73,6 +73,17 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # tiny (ba, bb) tile key, never a row-at-a-time Python eval
     "dedup_embedding": (["FlatMapGroupsInPandas"], ["BatchEvalPython"]),
     "dedup_ngram_jaccard": (["FlatMapGroupsInPandas"], ["BatchEvalPython"]),
+    # event-time windows: pure JVM (map-side partial agg -> one
+    # exchange on the session key -> sort -> MergingSessions; tumbling
+    # = hash agg), zero Python
+    "w1_error_sessions": (
+        ["MergingSessions"],
+        ["BatchEvalPython", "ArrowEvalPython"],
+    ),
+    "w2_event_windows": (
+        ["HashAggregate"],
+        ["BatchEvalPython", "ArrowEvalPython"],
+    ),
 }
 
 
