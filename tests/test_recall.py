@@ -63,3 +63,35 @@ def test_dedup_embedding_lsh_recall_floor(spark):
     # filters at the same exact-cosine threshold)
     assert r["n_approx"] <= r["n_exact"], r
     assert r["n_hit"] == r["n_approx"], r
+
+
+SF01_DIR = "/root/testdata/sf0.1"
+
+needs_sf01 = pytest.mark.skipif(
+    not os.path.exists(SF01_DIR), reason="sf0.1 testdata not mounted"
+)
+
+
+@needs_sf01
+@pytest.mark.slow
+def test_ann_lsh_recall_floor_sf01(spark):
+    """The bench-scale fixture (10k vectors): recall must clear the
+    same floor — catches configs that look fine at sf0.01 but degrade
+    with corpus size (exactly how the r3 defect hid)."""
+    from web_crawler_spark.queries import QUERIES
+
+    r = QUERIES["ann_lsh_recall"](spark, SF01_DIR).collect()[0].asDict()
+    assert r["meets_floor"], r
+
+
+@needs_sf01
+@pytest.mark.slow
+def test_dedup_embedding_lsh_recall_floor_sf01(spark):
+    from web_crawler_spark.queries import QUERIES
+
+    r = (
+        QUERIES["dedup_embedding_lsh_recall"](spark, SF01_DIR)
+        .collect()[0]
+        .asDict()
+    )
+    assert r["meets_floor"], r
