@@ -2126,11 +2126,13 @@ def q_w1_error_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     F.session_window plan, host→user_id). Session semantics: an event
     extends the session iff it lands strictly inside last_ts + gap;
     end = last_ts + gap."""
-    # parquet ts arrives as TIMESTAMP_NTZ; the session pins UTC, so the
-    # cast is the same instant DuckDB's naive epoch_us() sees
-    e = _t(spark, sf_dir, "events").withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
+    # parquet ts is TIMESTAMP_NTZ and STAYS NTZ through the window:
+    # epoch micros come from timestampdiff against the NTZ epoch, so
+    # the value is SESSION-TIMEZONE-INDEPENDENT (a cast to TIMESTAMP +
+    # unix_micros would shift by the driver session's zone, while
+    # DuckDB's epoch_us on the naive value would not — the o1 lesson)
+    e = _t(spark, sf_dir, "events")
+    ntz_us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {})"
     return (
         e.filter(F.col("event_type") == "error")
         .groupBy(
@@ -2145,8 +2147,8 @@ def q_w1_error_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "user_id",
-            F.unix_micros(F.col("s.start")).alias("session_start_us"),
-            F.unix_micros(F.col("s.end")).alias("session_end_us"),
+            F.expr(ntz_us.format("s.start")).alias("session_start_us"),
+            F.expr(ntz_us.format("s.end")).alias("session_end_us"),
             "n_errors",
             (F.col("n_errors") >= BURST_MIN_EVENTS).alias("is_burst"),
             "err_value",
@@ -2189,9 +2191,8 @@ def q_w2_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum per (window, type). Spark aligns tumbling windows to the 1970
     epoch; DuckDB's time_bucket to 2000-01-01 — identical boundaries
     at whole-hour widths."""
-    e = _t(spark, sf_dir, "events").withColumn(
-        "ts", F.col("ts").cast("timestamp")
-    )
+    e = _t(spark, sf_dir, "events")
+    ntz_us = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {})"
     return (
         e.groupBy(F.window(F.col("ts"), "1 hour").alias("w"), "event_type")
         .agg(
@@ -2199,7 +2200,7 @@ def q_w2_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
-            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            F.expr(ntz_us.format("w.start")).alias("window_start_us"),
             "event_type",
             "n_events",
             "sum_value",
