@@ -1,0 +1,188 @@
+"""Size-tuned LSH banding planner (`operators/lsh_plan.py`).
+
+Three layers of evidence that the planner is the real 10^10-item
+sizing path (BENCH.md §3b "honest scale reading"):
+
+1. analytic: the chosen config meets the recall target by its own
+   model, band width grows with log n, and the expected candidate
+   fraction shrinks so per-item work grows ~n^rho (sublinear), not
+   n^1 — the asymptotic LSH win a fixed config forfeits;
+2. Monte-Carlo: the collision model is validated against the REAL
+   signature kernel (`make_hyperplane_udf(...).func`) at both the
+   duplicate cosine and the random background;
+3. live Spark: `embedding_cosine_pairs_lsh` run with a planner-chosen
+   config on a planted-duplicate corpus clears the planned recall and
+   stays near the planned candidate mass.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from web_crawler_spark.operators.lsh_plan import (
+    LshPlan,
+    band_collision_prob,
+    collision_prob,
+    plan_minhash,
+    plan_sign_lsh,
+    sign_bit_agreement,
+)
+from web_crawler_spark.operators.similarity import make_hyperplane_udf
+
+
+def _unit_rows(rng, n, dim):
+    v = rng.standard_normal((n, dim))
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def _pairs_at_cosine(rng, n, dim, cos):
+    """n (v1, v2) unit-vector pairs at exactly the given cosine."""
+    v1 = _unit_rows(rng, n, dim)
+    w = rng.standard_normal((n, dim))
+    w -= np.einsum("ij,ij->i", w, v1)[:, None] * v1
+    w /= np.linalg.norm(w, axis=1, keepdims=True)
+    return v1, cos * v1 + np.sqrt(1.0 - cos**2) * w
+
+
+# ---------------------------------------------------------------------------
+# 1. analytic properties
+# ---------------------------------------------------------------------------
+
+
+def test_sign_agreement_endpoints():
+    assert sign_bit_agreement(1.0) == pytest.approx(1.0)
+    assert sign_bit_agreement(0.0) == pytest.approx(0.5)
+    assert sign_bit_agreement(-1.0) == pytest.approx(0.0)
+
+
+def test_band_model_monotone():
+    # collision probability rises with p, falls with band width
+    assert band_collision_prob(0.9, 8) > band_collision_prob(0.6, 8)
+    assert band_collision_prob(0.8, 4) > band_collision_prob(0.8, 16)
+    # multiprobe only ever helps, and never exceeds 1
+    for p in (0.5, 0.8, 0.99):
+        for r in (1, 4, 16):
+            assert (
+                band_collision_prob(p, r)
+                <= band_collision_prob(p, r, multiprobe=True)
+                <= 1.0
+            )
+
+
+@pytest.mark.parametrize(
+    "planner,kw",
+    [
+        (plan_sign_lsh, dict(cos_dup=0.86, target_recall=0.9)),
+        (plan_minhash, dict(j_dup=0.7, j_bg=0.05, target_recall=0.9)),
+    ],
+)
+def test_planner_sublinear_scaling(planner, kw):
+    """The core claim a fixed config forfeits: as n grows, the planner
+    widens bands (log n), the candidate FRACTION collapses by orders
+    of magnitude, and per-item work grows far slower than n."""
+    sizes = [10_000, 1_000_000, 10**9]
+    plans = [planner(n, **kw) for n in sizes]
+    for p in plans:
+        assert p.predicted_recall >= kw["target_recall"]
+    widths = [p.bits_per_band for p in plans]
+    assert widths == sorted(widths) and widths[-1] > widths[0]
+    fracs = [p.candidate_fraction for p in plans]
+    assert fracs[2] < fracs[1] < fracs[0]
+    assert fracs[0] / fracs[2] > 1_000  # orders of magnitude, not noise
+    # per-item work sublinear: n grew 10^5x, work must grow << 10^2x
+    assert plans[2].cost_per_item / plans[0].cost_per_item < 100
+    # and the config is feasible for the signature UDFs
+    assert all(p.num_bits == p.bits_per_band * p.bands for p in plans)
+
+
+def test_planner_rejects_impossible_targets():
+    with pytest.raises(ValueError):
+        plan_sign_lsh(10**6, cos_dup=0.1, cos_bg=0.0, target_recall=0.999,
+                      max_bands=4, multiprobe=False)
+    # with probing the degenerate 1-bit band (everything collides) is
+    # always available, so the same ask yields the honest scan-all plan
+    p = plan_sign_lsh(10**6, cos_dup=0.1, cos_bg=0.0, target_recall=0.999,
+                      max_bands=4, multiprobe=True)
+    assert p.candidate_fraction == pytest.approx(1.0)
+    with pytest.raises(ValueError):
+        plan_minhash(10**6, j_dup=0.04, j_bg=0.05)  # dup below background
+
+
+# ---------------------------------------------------------------------------
+# 2. model vs the real signature kernel (Monte-Carlo, deterministic seed)
+# ---------------------------------------------------------------------------
+
+
+def _measured_collision_fraction(v_left, v_right, plan: LshPlan, dim):
+    base = make_hyperplane_udf(dim, num_bits=plan.num_bits, bands=plan.bands)
+    probe = make_hyperplane_udf(
+        dim, num_bits=plan.num_bits, bands=plan.bands, flip=True
+    )
+    ba = base.func(pd.Series(list(v_left)))
+    pb = probe.func(pd.Series(list(v_right)))
+    return sum(1 for a, b in zip(ba, pb) if set(a) & set(b)) / len(v_left)
+
+
+def test_model_matches_real_kernel():
+    rng = np.random.RandomState(7)
+    dim, cos, npairs = 64, 0.86, 4000
+    plan = plan_sign_lsh(2_000, cos_dup=cos, target_recall=0.9)
+    v1, v2 = _pairs_at_cosine(rng, npairs, dim, cos)
+    recall = _measured_collision_fraction(v1, v2, plan, dim)
+    assert recall == pytest.approx(plan.predicted_recall, abs=0.04)
+    # background: independent random vectors (cos ~ 0 at dim 64)
+    bg = _measured_collision_fraction(
+        _unit_rows(rng, npairs, dim), _unit_rows(rng, npairs, dim), plan, dim
+    )
+    assert bg == pytest.approx(plan.candidate_fraction, abs=0.01)
+    assert bg < plan.predicted_recall / 10  # separation the join relies on
+
+
+# ---------------------------------------------------------------------------
+# 3. live Spark run with a planner-chosen config
+# ---------------------------------------------------------------------------
+
+
+def test_planned_config_live_spark(spark):
+    """Planted-duplicate corpus (the realistic near-dup regime,
+    cos ≥ 0.86) run through `embedding_cosine_pairs_lsh` at the
+    planner's config: measured recall clears the planned floor and the
+    candidate re-rank mass stays near the model's prediction."""
+    from web_crawler_spark.operators.similarity import (
+        embedding_cosine_pairs_lsh,
+    )
+
+    rng = np.random.RandomState(11)
+    dim, n_base, n_dup = 64, 400, 120
+    base = _unit_rows(rng, n_base, dim)
+    cosines = rng.uniform(0.86, 0.92, size=n_dup)
+    v1, _ = base[:n_dup], None
+    w = rng.standard_normal((n_dup, dim))
+    w -= np.einsum("ij,ij->i", w, v1)[:, None] * v1
+    w /= np.linalg.norm(w, axis=1, keepdims=True)
+    dups = cosines[:, None] * v1 + np.sqrt(1.0 - cosines**2)[:, None] * w
+    vecs = np.vstack([base, dups])  # ids: dup i duplicates base i
+    n = len(vecs)
+
+    plan = plan_sign_lsh(n, cos_dup=0.86, target_recall=0.9)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = embedding_cosine_pairs_lsh(
+        df,
+        dim=dim,
+        threshold=0.8,
+        num_bits=plan.num_bits,
+        bands=plan.bands,
+        multiprobe=plan.multiprobe,
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(i, n_base + i) for i in range(n_dup)}
+    recall = len(got & planted) / len(planted)
+    # deterministic seeds; floor = target minus Monte-Carlo slack
+    assert recall >= 0.85, f"planned config missed recall: {recall}"
+    # background pairs at dim 64 sit ~6 sigma below the 0.8 threshold,
+    # so the exact re-rank must emit ONLY planted pairs
+    extras = got - planted
+    assert not extras, f"re-rank admitted sub-threshold pairs: {extras}"

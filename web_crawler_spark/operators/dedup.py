@@ -113,6 +113,11 @@ def minhash_lsh_pairs(
     est_jaccard (id_a < id_b). ``max_bucket`` drops oversized band
     buckets before the self-join (see `cap_buckets`) — the 10^10-doc
     guard against boilerplate clusters turning the join quadratic.
+
+    Size (num_perm, bands) for the corpus with `operators.lsh_plan
+    .plan_minhash(n, j_dup, …)`: rows-per-band must grow with log n
+    for the banding join to stay sublinear (tests/test_lsh_plan.py,
+    BENCH.md §3b).
     """
     rows_per_band = num_perm // bands
     sig_udf = make_minhash_udf(num_perm=num_perm, shingle_k=shingle_k)
