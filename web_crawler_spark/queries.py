@@ -1029,6 +1029,10 @@ SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim FROM (
 # multi-probe. 16 bands × 8 bits + probe measured: topk recall@5
 # 0.94-0.98, pair recall 0.91-0.97; IVF nprobe=10/16 measured
 # 0.86-0.92. Floors in RECALL_FLOORS_BP sit under the measured values.
+# These are grid-measured constants for the FIXED bench fixtures; for
+# arbitrary corpus sizes derive (num_bits, bands) analytically with
+# operators/lsh_plan.py (kernel-validated S-curve planner — band width
+# must grow with log n for the banding join to stay sublinear).
 ANN_LSH_PARAMS = dict(dim=64, k=5, num_bits=128, bands=16, multiprobe=True)
 ANN_IVF_PARAMS = dict(dim=64, k=5, num_centroids=16, nprobe=10, iters=2)
 IVF_SAMPLE_PARAMS = dict(sample_rate=0.5, seed=13, salt="ivf")
