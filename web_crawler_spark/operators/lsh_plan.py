@@ -117,9 +117,9 @@ def _plan(
         frac = collision_prob(p_bg, r, b, multiprobe)
         # expected per-item work: candidate partners generated among the
         # other n−1 items, plus the index rows this item emits into the
-        # band join (each a shuffled row; multiprobe fan-out r+1 per
-        # band on the probed side amortizes to ~(r+3)/2 across sides).
-        probe_rows = b * ((r + 3) / 2.0 if multiprobe else 1.0)
+        # band join (each a shuffled row): b on the base frame, plus
+        # b·(r+1) on the probed frame under single-bit multiprobe.
+        probe_rows = b * ((r + 2) if multiprobe else 1.0)
         cost = (n - 1) * frac + index_row_cost * probe_rows
         plan = LshPlan(
             bits_per_band=r,
