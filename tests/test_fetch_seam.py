@@ -250,3 +250,34 @@ def test_http_fetcher_through_engine_seam(spark):
     assert len(fetched) == 1
     r = fetched[0]
     assert r["status_code"] == 200 and "hi" in r["html"]
+
+
+def test_fullcrawl_robust_fetcher_splits_unknown_paths():
+    """bench_fullcrawl.robust_fetcher: real page URLs go through the
+    synthetic fetcher; URL shapes the generator can't invert (which on
+    a live crawl would 404) come back as 404 rows with the same
+    columns, so one malformed admitted link can't kill a scale run."""
+    import pandas as pd
+
+    from bench_fullcrawl import robust_fetcher
+
+    fetch = robust_fetcher(hosts=4, pages_per_host=200)
+    req = pd.DataFrame(
+        {
+            "url_key": [
+                "https://host0.example.test/",
+                "https://host0.example.test/p5",
+                "https://host0.example.test/page/2/",  # pagination shape
+                "https://host0.example.test/tag/news",
+            ]
+        }
+    )
+    out = fetch(req).set_index("url_key")
+    assert int(out.loc["https://host0.example.test/", "status_code"]) == 200
+    assert int(out.loc["https://host0.example.test/p5", "status_code"]) == 200
+    assert out.loc["https://host0.example.test/p5", "html"]
+    for bad in ("https://host0.example.test/page/2/",
+                "https://host0.example.test/tag/news"):
+        assert int(out.loc[bad, "status_code"]) == 404
+        assert out.loc[bad, "html"] is None
+    assert len(out) == len(req)
