@@ -73,6 +73,15 @@ def main() -> None:
     ap.add_argument("--pages-per-host", type=int, default=20_000)
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--bloom-shards", type=int, default=1)
+    ap.add_argument(
+        "--interrupt-at",
+        type=int,
+        default=0,
+        help="kill the crawl after this many rounds, then RESUME it "
+        "with a fresh engine (new JVM state, new bloom) from the "
+        "durable round snapshots — the north-rule checkpoint-resume "
+        "path exercised at scale instead of fixture scale",
+    )
     ap.add_argument("--out", type=str, default="")
     args = ap.parse_args()
 
@@ -113,22 +122,49 @@ def main() -> None:
         generate_pages(WebGraphConfig(hosts=1, pages_per_host=1))
     )
     state = tempfile.mkdtemp(prefix="wcs_fullcrawl_")
-    eng = CrawlEngine(
-        spark,
-        pages,
-        sites,
-        config=CrawlConfig(
-            state_dir=state,
-            bloom_shards=args.bloom_shards,
-            bloom_expected=args.hosts * args.pages_per_host * 2,
-        ),
-        fetcher=robust_fetcher(args.hosts, args.pages_per_host),
-    )
+
+    def make_engine(max_rounds: int = 10_000) -> CrawlEngine:
+        return CrawlEngine(
+            spark,
+            pages,
+            sites,
+            config=CrawlConfig(
+                state_dir=state,
+                max_rounds=max_rounds,
+                bloom_shards=args.bloom_shards,
+                bloom_expected=args.hosts * args.pages_per_host * 2,
+            ),
+            fetcher=robust_fetcher(args.hosts, args.pages_per_host),
+        )
+
     t0 = time.monotonic()
-    stats = eng.run(fresh=True)
-    wall = time.monotonic() - t0
-    visited = stats.total_visits
-    per_round = stats.per_round
+    interrupted = None
+    if args.interrupt_at:
+        stats_a = make_engine(max_rounds=args.interrupt_at).run(fresh=True)
+        t1 = time.monotonic()
+        # fresh engine object: nothing survives but the durable round
+        # snapshots under state_dir (same recovery surface as a new
+        # driver JVM); resume() replays meta and continues
+        eng = make_engine()
+        stats = eng.resume()
+        wall = time.monotonic() - t0
+        interrupted = {
+            "interrupt_at_round": args.interrupt_at,
+            "phase_a_rounds": stats_a.rounds,
+            "phase_a_visits": stats_a.total_visits,
+            "phase_a_wall_s": round(t1 - t0, 1),
+            "phase_b_wall_s": round(wall - (t1 - t0), 1),
+        }
+        # run()'s CrawlStats counts its own rounds; total coverage is
+        # the durable fetch_log across both phases
+        visited = eng.visits().count()
+        per_round = stats_a.per_round + stats.per_round
+    else:
+        eng = make_engine()
+        stats = eng.run(fresh=True)
+        wall = time.monotonic() - t0
+        visited = stats.total_visits
+        per_round = stats.per_round
     result = {
         "metric": "full-engine crawl URLs/s (production fetch seam, "
         "ordered commits + background sinks)",
@@ -152,6 +188,8 @@ def main() -> None:
             sum(r["ms_frontier_wait"] for r in per_round), 1
         ),
     }
+    if interrupted:
+        result["resume"] = interrupted
     print(json.dumps(result))
     if args.out:
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
