@@ -74,6 +74,15 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--bloom-shards", type=int, default=1)
     ap.add_argument(
+        "--max-per-host-round",
+        type=int,
+        default=0,
+        help="politeness cap: dequeue at most this many URLs per host "
+        "per round (0 = reference parity, no cap). Exercises the "
+        "deferral path — excess frontier rows wait for a later round "
+        "instead of being dropped — at scale",
+    )
+    ap.add_argument(
         "--interrupt-at",
         type=int,
         default=0,
@@ -131,6 +140,7 @@ def main() -> None:
             config=CrawlConfig(
                 state_dir=state,
                 max_rounds=max_rounds,
+                max_per_host_round=args.max_per_host_round or None,
                 bloom_shards=args.bloom_shards,
                 bloom_expected=args.hosts * args.pages_per_host * 2,
             ),
@@ -172,6 +182,7 @@ def main() -> None:
         "pages_per_host": args.pages_per_host,
         "cpus": args.cpus,
         "bloom_shards": args.bloom_shards,
+        "max_per_host_round": args.max_per_host_round or None,
         "rounds": stats.rounds,
         "urls_visited": visited,
         "wall_s": round(wall, 1),
