@@ -123,3 +123,55 @@ def test_engine_cap_defers_never_drops(spark, tmp_path):
     fl = results["cap3"]["fetch_log"]
     fl["host"] = fl["url_key"].str.extract(r"https://([^/]+)")
     assert fl.groupby(["round", "host"]).size().max() <= 3
+
+
+def test_resume_with_deferred_backlog(spark, tmp_path):
+    """Kill a capped crawl while deferred rows sit in the frontier
+    snapshot, resume with a fresh engine: the backlog must survive the
+    restart — final seen/visited sets equal the uncapped run and the
+    cap holds across both phases."""
+    from web_crawler_spark.engine.crawl import CrawlConfig, CrawlEngine
+    from web_crawler_spark.fixtures.webgraph import (
+        WebGraphConfig,
+        generate_pages,
+        generate_sites,
+    )
+
+    cfg = WebGraphConfig(hosts=2, pages_per_host=10)
+    pages = spark.createDataFrame(generate_pages(cfg))
+    sites = spark.createDataFrame(generate_sites(cfg))
+
+    ref = CrawlEngine(
+        spark, pages, sites,
+        config=CrawlConfig(state_dir=str(tmp_path / "nocap")),
+    )
+    ref.run(fresh=True)
+    want_seen = sorted(r["url_key"] for r in ref.seen_keys().collect())
+    want_visited = sorted(
+        ref.read_all("fetch_log").toPandas()["url_key"]
+    )
+
+    state = str(tmp_path / "capped")
+    eng1 = CrawlEngine(
+        spark, pages, sites,
+        config=CrawlConfig(
+            state_dir=state, max_per_host_round=3, max_rounds=3
+        ),
+    )
+    stats1 = eng1.run(fresh=True)
+    # the interrupt landed MID-BACKLOG: the last committed round deferred
+    # rows, which now live only in the durable frontier snapshot
+    assert stats1.per_round[-1]["deferred"] > 0
+
+    eng2 = CrawlEngine(
+        spark, pages, sites,
+        config=CrawlConfig(state_dir=state, max_per_host_round=3),
+    )
+    eng2.resume()
+    assert (
+        sorted(r["url_key"] for r in eng2.seen_keys().collect()) == want_seen
+    )
+    fl = eng2.read_all("fetch_log").toPandas()
+    assert sorted(fl["url_key"]) == want_visited
+    fl["host"] = fl["url_key"].str.extract(r"https://([^/]+)")
+    assert fl.groupby(["round", "host"]).size().max() <= 3
