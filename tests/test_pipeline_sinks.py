@@ -256,3 +256,175 @@ def test_failed_sink_poisons_later_commits_and_resumes(
     got, want = snap(eng2), snap(ref)
     for g, w, name in zip(got, want, ("visits", "seen", "documents")):
         assert g.equals(w), f"{name} diverged after poisoned-commit resume"
+
+
+# ---------------------------------------------------------------------------
+# r5: kill-resume at the seen-compaction round boundary (the one corner the
+# prefix-durability and deferred-backlog tests don't pin). The compaction
+# (engine/crawl.py seen_compact_rounds) drains the committer and re-roots the
+# in-memory seen frame on the durable table every K rounds — a crash landing
+# exactly at that boundary exercises two distinct recovery states:
+#   BEFORE the drain: the poisoned round-K commit surfaces *inside* the
+#     compaction drain itself; meta must still claim exactly K-1 (the last
+#     round whose prefix-chained commit completed).
+#   AFTER the drain: round K's commit drained clean, so meta claims exactly
+#     K, and the crash in round K+1 resumes from the re-rooted durable table.
+# ---------------------------------------------------------------------------
+
+
+def _chain_engines(spark, tmp_path_factory, tag, compact_k=4):
+    pages, sites = _chain_fixture(12)
+    pages_df = spark.createDataFrame(pages)
+    sites_df = spark.createDataFrame(sites)
+
+    def mk(state):
+        return CrawlEngine(
+            spark,
+            pages_df,
+            sites_df,
+            config=CrawlConfig(state_dir=state, seen_compact_rounds=compact_k),
+        )
+
+    ref = mk(str(tmp_path_factory.mktemp(f"compkill_ref_{tag}")))
+    ref_stats = ref.run(fresh=True)
+    assert ref_stats.rounds == 12 and ref_stats.total_visits == 12
+    return mk, ref
+
+
+def _chain_snap(eng):
+    return (
+        eng.visits()
+        .orderBy("visit_ord")
+        .select("url_key", "visit_ord", "depth", "round")
+        .toPandas()
+        .reset_index(drop=True),
+        eng.seen_keys()
+        .orderBy("siteid", "url_key")
+        .toPandas()
+        .reset_index(drop=True),
+    )
+
+
+@pytest.mark.parametrize("fail_round, committed", [(4, 3), (5, 4)])
+def test_crash_at_compaction_boundary_resumes(
+    spark, tmp_path_factory, fail_round, committed
+):
+    """Chain crawl with seen_compact_rounds=4; a sink write fails at the
+    compaction round itself (fail_round=4 → the poisoned commit is joined
+    BY the compaction drain; meta must claim exactly 3) or the round right
+    after it (fail_round=5 → the drain completed, meta must claim exactly
+    the compaction round 4). Both resume to the uninterrupted result."""
+    mk, ref = _chain_engines(spark, tmp_path_factory, f"f{fail_round}")
+
+    state = str(tmp_path_factory.mktemp(f"compkill_{fail_round}"))
+    eng = mk(state)
+    orig_write = eng._write
+    fired = []
+
+    def flaky_write(df, table, rnd):
+        if table == "documents" and rnd == fail_round and not fired:
+            fired.append(True)
+            raise RuntimeError("injected compaction-boundary failure")
+        return orig_write(df, table, rnd)
+
+    eng._write = flaky_write
+    with pytest.raises(RuntimeError, match="compaction-boundary"):
+        eng.run(fresh=True)
+    assert fired
+
+    meta = eng._read_meta()
+    # the EXACT committed round pins which side of the drain the crash
+    # landed on — not just an upper bound
+    assert meta is not None and meta["round"] == committed, meta
+
+    eng2 = mk(state)
+    stats = eng2.resume()
+    assert stats.rounds == 12 and stats.total_visits == 12
+    got, want = _chain_snap(eng2), _chain_snap(ref)
+    for g, w, name in zip(got, want, ("visits", "seen")):
+        assert g.equals(w), (
+            f"{name} diverged after compaction-boundary crash-resume"
+        )
+
+
+def test_midround_crash_with_deferred_backlog_resumes(spark, tmp_path_factory):
+    """ADVICE r4: a REAL mid-round crash (not a graceful round-boundary
+    stop) while a politeness-deferred backlog is in flight. The frontier
+    write fails mid-round on the ordered path, after that round's seen
+    snapshot already landed — leaving an orphan seen/round=N dir with no
+    matching meta. Resume must prune the orphan (else the anti-join would
+    silently drop every URL the re-run rediscovers) and drain the deferred
+    backlog to the exact uncapped result."""
+    cfg = WebGraphConfig(hosts=2, pages_per_host=10)
+    pages_df = spark.createDataFrame(generate_pages(cfg))
+    sites_df = spark.createDataFrame(generate_sites(cfg))
+
+    ref = CrawlEngine(
+        spark,
+        pages_df,
+        sites_df,
+        config=CrawlConfig(state_dir=str(tmp_path_factory.mktemp("defer_ref"))),
+    )
+    ref.run(fresh=True)
+    want_seen = sorted(r["url_key"] for r in ref.seen_keys().collect())
+    want_visited = sorted(
+        ref.read_all("fetch_log").toPandas()["url_key"]
+    )
+
+    state = str(tmp_path_factory.mktemp("defer_crash"))
+
+    def mk():
+        return CrawlEngine(
+            spark,
+            pages_df,
+            sites_df,
+            config=CrawlConfig(state_dir=state, max_per_host_round=3),
+        )
+
+    eng = mk()
+    orig_write = eng._write
+    fired = []
+
+    def flaky_write(df, table, rnd):
+        # round 4 is the first round whose PREDECESSOR committed with a
+        # deferred backlog (binary-tree fanout: round-3 frontier is 5
+        # URLs/host against cap 3)
+        if table == "frontier" and rnd == 4 and not fired:
+            fired.append(True)
+            raise RuntimeError("injected mid-round frontier failure")
+        return orig_write(df, table, rnd)
+
+    eng._write = flaky_write
+    with pytest.raises(RuntimeError, match="mid-round frontier"):
+        eng.run(fresh=True)
+    assert fired
+
+    meta = eng._read_meta()
+    # run()'s finally drains the committer, so meta is settled: rounds
+    # 0-3 carried no poison and MUST have committed — exactly 3
+    assert meta is not None and meta["round"] == 3, meta
+    # premise of the scenario: the last COMMITTED round already deferred
+    # rows (the backlog lives only in the durable frontier snapshot), and
+    # the crash left an orphan state dir newer than the committed round
+    mpath = os.path.join(state, "metrics.jsonl")
+    by_round = {json.loads(ln)["round"]: json.loads(ln) for ln in open(mpath)}
+    assert by_round[meta["round"]]["deferred"] > 0, by_round
+    orphans = [
+        d
+        for t in os.listdir(state)
+        if os.path.isdir(os.path.join(state, t))
+        for d in os.listdir(os.path.join(state, t))
+        if d.startswith("round=")
+        and int(d.split("=", 1)[1]) > meta["round"]
+    ]
+    assert orphans, "crash did not leave orphan round state to prune"
+
+    eng2 = mk()
+    eng2.resume()
+    assert (
+        sorted(r["url_key"] for r in eng2.seen_keys().collect()) == want_seen
+    )
+    fl = eng2.read_all("fetch_log").toPandas()
+    assert sorted(fl["url_key"]) == want_visited
+    fl["host"] = fl["url_key"].str.extract(r"https://([^/]+)")
+    assert fl.groupby(["round", "host"]).size().max() <= 3
