@@ -47,10 +47,50 @@ def _tag(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
 
 
-def _write(df: pd.DataFrame, name: str, sf_dir: str) -> str:
+def mirror_meta_path(mirror_path: str) -> str:
+    """Companion meta parquet recording which corpus a mirror was
+    materialized from."""
+    return mirror_path[: -len(".parquet")] + ".meta.parquet"
+
+
+def corpus_fingerprint(corpus: pd.DataFrame) -> dict:
+    """Integer, order-independent corpus fingerprint the recall-oracle
+    guard CTE recomputes in SQL over the registered view: row count,
+    id sum, and a content term (total text chars for documents; count
+    of positive first components for embeddings — the sf0.001/sf0.01
+    fixtures share counts AND id sums, so content must participate)."""
+    if "doc_id" in corpus.columns:
+        return {
+            "n_corpus": len(corpus),
+            "id_sum": int(corpus["doc_id"].sum()),
+            "content_fp": int(corpus["text"].fillna("").str.len().sum()),
+        }
+    return {
+        "n_corpus": len(corpus),
+        "id_sum": int(corpus["vec_id"].sum()),
+        "content_fp": int(
+            sum(1 for v in corpus["embedding"] if len(v) and v[0] > 0)
+        ),
+    }
+
+
+def _write(
+    df: pd.DataFrame, name: str, sf_dir: str, corpus: pd.DataFrame
+) -> str:
     os.makedirs(_RECALL_DIR, exist_ok=True)
-    p = os.path.join(_RECALL_DIR, f"{name}_{_tag(sf_dir)}.parquet")
+    tag = _tag(sf_dir)
+    p = os.path.join(_RECALL_DIR, f"{name}_{tag}.parquet")
     df.to_parquet(p, index=False)
+    # Companion meta: the recall-oracle SQL cross-checks the corpus
+    # fingerprint against the registered views and raises via DuckDB
+    # error() on mismatch. Without it, running a recall oracle against
+    # a different sf than the mirror was built from reports a
+    # plausible-looking recall of ~0 instead of failing loudly
+    # (r4 verdict watch item 2).
+    fp = corpus_fingerprint(corpus)
+    pd.DataFrame({k: [v] for k, v in fp.items()} | {"sf_tag": [tag]}).to_parquet(
+        mirror_meta_path(p), index=False
+    )
     return p
 
 
@@ -126,12 +166,12 @@ def write_ann_lsh_topk(
     if not qid_l:
         out = pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
                             "neighbor_id": pd.Series([], dtype="int64")})
-        return _write(out, "ann_lsh_topk", sf_dir)
+        return _write(out, "ann_lsh_topk", sf_dir, emb)
     cos = _cosine(qv_l, cv_l)
     cand_df = pd.DataFrame(
         {"query_id": qid_l, "neighbor_id": nid_l, "cos": cos}
     )
-    return _write(_topk_rows(cand_df, k), "ann_lsh_topk", sf_dir)
+    return _write(_topk_rows(cand_df, k), "ann_lsh_topk", sf_dir, emb)
 
 
 def write_ann_ivf_topk(
@@ -191,12 +231,12 @@ def write_ann_ivf_topk(
     if not qid_l:
         out = pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
                             "neighbor_id": pd.Series([], dtype="int64")})
-        return _write(out, "ann_ivf_topk", sf_dir)
+        return _write(out, "ann_ivf_topk", sf_dir, emb)
     cos = _cosine(qv_l, cv_l)
     cand_df = pd.DataFrame(
         {"query_id": qid_l, "neighbor_id": nid_l, "cos": cos}
     )
-    return _write(_topk_rows(cand_df, k), "ann_ivf_topk", sf_dir)
+    return _write(_topk_rows(cand_df, k), "ann_ivf_topk", sf_dir, emb)
 
 
 def write_minhash_pairs(
@@ -232,7 +272,7 @@ def write_minhash_pairs(
         if (sig[idx[a]] == sig[idx[b]]).sum() / num_perm >= threshold
     ]
     out = pd.DataFrame(keep, columns=["id_a", "id_b"]).astype("int64")
-    return _write(out, "minhash_pairs", sf_dir)
+    return _write(out, "minhash_pairs", sf_dir, docs)
 
 
 def write_simhash_values(sf_dir: str) -> str:
@@ -248,7 +288,7 @@ def write_simhash_values(sf_dir: str) -> str:
             "sh": simhash_udf.func(docs["text"]).astype("int64"),
         }
     )
-    return _write(out, "simhash_values", sf_dir)
+    return _write(out, "simhash_values", sf_dir, docs)
 
 
 def write_embedding_lsh_pairs(
@@ -306,11 +346,11 @@ def write_embedding_lsh_pairs(
     if not cand:
         out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                             "id_b": pd.Series([], dtype="int64")})
-        return _write(out, "embedding_lsh_pairs", sf_dir)
+        return _write(out, "embedding_lsh_pairs", sf_dir, emb)
     pairs = sorted(cand)
     cos = _cosine(
         [vecs[a] for a, _ in pairs], [vecs[b] for _, b in pairs]
     )
     keep = [(a, b) for (a, b), c in zip(pairs, cos) if c >= threshold]
     out = pd.DataFrame(keep, columns=["id_a", "id_b"]).astype("int64")
-    return _write(out, "embedding_lsh_pairs", sf_dir)
+    return _write(out, "embedding_lsh_pairs", sf_dir, emb)

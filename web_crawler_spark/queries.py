@@ -1325,10 +1325,47 @@ exact AS (SELECT qid AS query_id, nid AS neighbor_id FROM (
 """
 
 _RECALL_M_SQL = """
-m AS (SELECT (SELECT count(*) FROM exact) AS n_exact,
+m AS (SELECT (SELECT count(*) FROM exact) * (SELECT ok FROM guard) AS n_exact,
              (SELECT count(*) FROM approx) AS n_approx,
              (SELECT count(*) FROM approx a
               JOIN exact e USING ({keys})) AS n_hit)
+"""
+
+
+def _mirror_guard_cte(mirror_path: str, corpus_table: str) -> str:
+    """Guard CTE every recall oracle multiplies into n_exact: raises
+    via DuckDB error() when the pre-materialized mirror parquet was
+    built from a different corpus than the registered views (companion
+    .meta.parquet row count vs live count(*)). Without it, a recall
+    oracle run against a different sf than SPARK_GRAFT_SF_DIR pointed
+    at during materialization reports a plausible-looking recall of ~0
+    instead of failing loudly (r4 verdict watch item 2)."""
+    from web_crawler_spark.oracle.approx_mirror import mirror_meta_path
+
+    meta = mirror_meta_path(mirror_path)
+    # live fingerprint must match oracle.approx_mirror.corpus_fingerprint
+    # term for term (integer, order-independent)
+    if corpus_table == "documents":
+        live = (
+            "SELECT count(*) AS n, sum(doc_id) AS ids, "
+            "sum(len(coalesce(text, ''))) AS fp FROM documents"
+        )
+    else:
+        live = (
+            "SELECT count(*) AS n, sum(vec_id) AS ids, "
+            "sum(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) AS fp "
+            "FROM embeddings"
+        )
+    msg = (
+        f"recall mirror {mirror_path} was materialized from a different "
+        f"corpus than the registered {corpus_table} view (fingerprint "
+        "mismatch) -- export SPARK_GRAFT_SF_DIR to the sf under test so "
+        "the mirror is rebuilt from the same tables"
+    )
+    return f"""guard AS (
+  SELECT CASE WHEN (m.n_corpus, m.id_sum, m.content_fp) = (l.n, l.ids, l.fp)
+         THEN 1 ELSE error('{msg}') END AS ok
+  FROM read_parquet('{meta}') m, ({live}) l),
 """
 
 
@@ -1338,6 +1375,7 @@ def _ann_recall_oracle(tier: str, write_fn) -> str:
         "WITH "
         + _ANN_EXACT_CTES
         + f", approx AS (SELECT query_id, neighbor_id FROM read_parquet('{p}')),"
+        + _mirror_guard_cte(p, "embeddings")
         + _RECALL_M_SQL.format(keys="query_id, neighbor_id")
         + _recall_tail_sql(tier)
     )
@@ -1408,6 +1446,7 @@ exact AS (
 ),
 approx AS (SELECT id_a, id_b FROM read_parquet('{p}')),
 """
+        + _mirror_guard_cte(p, "documents")
         + _RECALL_M_SQL.format(keys="id_a, id_b").lstrip()
         + _recall_tail_sql("dedup_minhash_recall")
     )
@@ -1434,6 +1473,7 @@ p2 AS (
 exact AS (SELECT id_a, id_b FROM p2 WHERE ham <= {h}),
 approx AS (SELECT id_a, id_b FROM p2 WHERE blocked AND ham <= {h}),
 """
+        + _mirror_guard_cte(p, "documents")
         + _RECALL_M_SQL.format(keys="id_a, id_b").lstrip()
         + _recall_tail_sql("dedup_simhash_recall")
     )
@@ -1456,6 +1496,7 @@ WITH exact AS (
 ),
 approx AS (SELECT id_a, id_b FROM read_parquet('{p}')),
 """
+        + _mirror_guard_cte(p, "embeddings")
         + _RECALL_M_SQL.format(keys="id_a, id_b").lstrip()
         + _recall_tail_sql("dedup_embedding_lsh_recall")
     )
