@@ -88,9 +88,18 @@ def main() -> None:
         s = sorted(xs)
         return s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
 
+    # optional comma-list filter for paired A/B runs (e.g. the r4->r5
+    # regression attribution): only the named queries are timed; the
+    # crawl entry runs unless excluded by a non-empty filter
+    only = {
+        q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q
+    }
+    headline = [q for q in HEADLINE if not only or q in only]
+    run_crawl = not only or "crawl_end_to_end" in only
+
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in headline:
         runs = []
         for _ in range(repeats):
             t0 = time.time()
@@ -116,31 +125,32 @@ def main() -> None:
     # initializes the parquet committer, so the timed samples measure
     # the round pipeline, not first-touch JVM costs (~+12s on sample 1
     # otherwise; all raw samples are still reported)
-    wcfg = WebGraphConfig(hosts=1, pages_per_host=6, seed=7)
-    CrawlEngine(
-        spark,
-        spark.createDataFrame(generate_pages(wcfg)),
-        spark.createDataFrame(generate_sites(wcfg)),
-        config=CrawlConfig(state_dir=f"/tmp/wcs_bench_warm_{os.getpid()}"),
-    ).run(fresh=True)
-
-    cfg = WebGraphConfig(hosts=4, pages_per_host=200, seed=42)
-    pages = spark.createDataFrame(generate_pages(cfg))
-    sites = spark.createDataFrame(generate_sites(cfg))
-    crawl_runs: list[float] = []
     stats = None
-    for i in range(repeats):
-        state = f"/tmp/wcs_bench_{os.getpid()}_{i}"
-        eng = CrawlEngine(
-            spark, pages, sites, config=CrawlConfig(state_dir=state)
-        )
-        t0 = time.time()
-        stats = eng.run(fresh=True)
-        crawl_runs.append(round(time.time() - t0, 3))
-        spark.catalog.clearCache()
-    samples["crawl_end_to_end"] = crawl_runs
-    crawl_s = med(crawl_runs)
-    timings["crawl_end_to_end"] = round(crawl_s, 3)
+    if run_crawl:
+        wcfg = WebGraphConfig(hosts=1, pages_per_host=6, seed=7)
+        CrawlEngine(
+            spark,
+            spark.createDataFrame(generate_pages(wcfg)),
+            spark.createDataFrame(generate_sites(wcfg)),
+            config=CrawlConfig(state_dir=f"/tmp/wcs_bench_warm_{os.getpid()}"),
+        ).run(fresh=True)
+
+        cfg = WebGraphConfig(hosts=4, pages_per_host=200, seed=42)
+        pages = spark.createDataFrame(generate_pages(cfg))
+        sites = spark.createDataFrame(generate_sites(cfg))
+        crawl_runs: list[float] = []
+        for i in range(repeats):
+            state = f"/tmp/wcs_bench_{os.getpid()}_{i}"
+            eng = CrawlEngine(
+                spark, pages, sites, config=CrawlConfig(state_dir=state)
+            )
+            t0 = time.time()
+            stats = eng.run(fresh=True)
+            crawl_runs.append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+        samples["crawl_end_to_end"] = crawl_runs
+        crawl_s = med(crawl_runs)
+        timings["crawl_end_to_end"] = round(crawl_s, 3)
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1
     total = round(sum(timings.values()), 3)

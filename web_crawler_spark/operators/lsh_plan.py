@@ -39,6 +39,9 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from functools import lru_cache
+
+import numpy as np
 
 # the int64 band packing in make_hyperplane_udf tags band ids above bit
 # 32, so a band may hold at most 32 sign bits; minhash band hashes are
@@ -72,6 +75,94 @@ def collision_prob(p: float, r: int, b: int, multiprobe: bool = False) -> float:
     return 1.0 - (1.0 - band_collision_prob(p, r, multiprobe)) ** b
 
 
+# ---------------------------------------------------------------------------
+# query-directed probing model (r5): probe only the m smallest-|margin|
+# bits per band instead of all r single-bit flips
+# ---------------------------------------------------------------------------
+#
+# Geometry (Goemans–Williamson frame): for a pair (q, c) at angle θ and
+# a hyperplane w ~ N(0, I), write u = q·w ~ N(0,1) and decompose
+# c = cosθ·q + sinθ·q⊥ so c·w = cosθ·u + sinθ·z with z ~ N(0,1)
+# independent. The bit DISAGREES iff sign(u) ≠ sign(cosθ·u + sinθ·z):
+#
+#   P(disagree | margin |u| = t) = Φ(−t·cotθ)          =: g(t)
+#
+# — decreasing in t for θ < π/2. Disagreements concentrate on the
+# query's SMALL-margin bits, while for a background pair (θ = π/2,
+# cotθ = 0) g ≡ 1/2 is margin-independent. Probing the m
+# smallest-margin bits therefore catches a duplicate's single
+# disagreeing bit with probability far above m/r, but catches a
+# background pair's with exactly m/r — the asymmetry that makes
+# directed probing strictly cheaper than the full r-flip probe set at
+# equal recall. A band collides under m-probe iff it has 0
+# disagreements, or exactly 1 whose margin ranks among the m smallest:
+#
+#   P_band(θ, r, m) = A(∞)^r
+#     + r·∫ f(t)·g(t)·Σ_{k<m} C(r−1,k)·A(t)^k·(A(∞)−A(t))^{r−1−k} dt
+#
+# with f the half-normal margin density and A(t) = ∫₀ᵗ f(1−g) — the
+# probability another bit agrees AND has margin below t. Evaluated by
+# deterministic trapezoid quadrature (no Monte-Carlo in the planner);
+# tests/test_lsh_plan.py validates it against the real signature
+# kernel. m = r reduces to the closed-form multiprobe S-curve above;
+# m = 0 to the plain p^r band.
+
+_QUAD_POINTS = 4001
+_QUAD_TMAX = 8.0
+
+
+def _norm_cdf(x: np.ndarray) -> np.ndarray:
+    erf = np.frompyfunc(math.erf, 1, 1)
+    return 0.5 * (1.0 + erf(x / math.sqrt(2.0)).astype(np.float64))
+
+
+@lru_cache(maxsize=512)
+def _directed_tables(theta: float):
+    t = np.linspace(0.0, _QUAD_TMAX, _QUAD_POINTS)
+    dt = t[1] - t[0]
+    dens = math.sqrt(2.0 / math.pi) * np.exp(-0.5 * t * t)
+    if theta <= 1e-12:
+        g = np.zeros_like(t)
+    elif theta >= math.pi - 1e-12:
+        g = np.ones_like(t)
+    else:
+        g = _norm_cdf(-t * (math.cos(theta) / math.sin(theta)))
+    fg = dens * (1.0 - g)
+    # cumulative trapezoid of f·(1−g): A(t)
+    a = np.concatenate(([0.0], np.cumsum((fg[1:] + fg[:-1]) * 0.5 * dt)))
+    return t, dt, dens, g, a
+
+
+@lru_cache(maxsize=4096)
+def directed_band_collision_prob(theta: float, r: int, m: int) -> float:
+    """P(one r-bit band collides) for a pair at angle theta when the
+    query side probes its m smallest-|margin| single-bit flips
+    (m = 0: exact band match only; m >= r: the full probe set)."""
+    if r < 1:
+        raise ValueError("band width must be >= 1")
+    m = max(0, min(m, r))
+    t, dt, dens, g, a = _directed_tables(theta)
+    p_agree = a[-1]  # = 1 − θ/π up to quadrature error
+    zero = p_agree**r
+    if m == 0:
+        return min(1.0, zero)
+    if r == 1:
+        return 1.0  # probing the only bit always collides
+    below, above = a, p_agree - a
+    sk = np.zeros_like(t)
+    for k in range(m):
+        sk += math.comb(r - 1, k) * below**k * above ** (r - 1 - k)
+    integ = dens * g * sk
+    one_cov = r * float(np.sum((integ[1:] + integ[:-1]) * 0.5 * dt))
+    return min(1.0, zero + one_cov)
+
+
+def directed_collision_prob(theta: float, r: int, b: int, m: int) -> float:
+    """P(pair shares ≥1 bucket) under b bands with m-bit directed
+    probing — recall at theta_dup, candidate fraction at theta_bg."""
+    return 1.0 - (1.0 - directed_band_collision_prob(theta, r, m)) ** b
+
+
 @dataclass(frozen=True)
 class LshPlan:
     """A planned banding config plus its model predictions."""
@@ -82,6 +173,10 @@ class LshPlan:
     predicted_recall: float  # collision_prob at p_dup
     candidate_fraction: float  # collision_prob at p_bg
     cost_per_item: float  # expected candidate partners + index rows
+    # sign-LSH only: how many smallest-|margin| single-bit flips the
+    # query side probes per band (0 = none, bits_per_band = full set);
+    # feeds make_hyperplane_udf(probe_bits=...)
+    probe_bits: int = 0
 
     @property
     def num_bits(self) -> int:
@@ -128,9 +223,60 @@ def _plan(
             predicted_recall=collision_prob(p_dup, r, b, multiprobe),
             candidate_fraction=frac,
             cost_per_item=cost,
+            probe_bits=r if multiprobe else 0,
         )
         if best is None or plan.cost_per_item < best.cost_per_item:
             best = plan
+    if best is None:
+        raise ValueError(
+            "no config reaches the recall target within the band budget; "
+            "raise max_bands or lower target_recall"
+        )
+    return best
+
+
+def _plan_sign(
+    theta_dup: float,
+    theta_bg: float,
+    n: int,
+    target_recall: float,
+    probe_opts,
+    max_bands: int,
+    index_row_cost: float,
+) -> LshPlan:
+    best: LshPlan | None = None
+    for r in range(1, MAX_SIGN_BITS_PER_BAND + 1):
+        for m in probe_opts(r):
+            pb = directed_band_collision_prob(theta_dup, r, m)
+            if pb <= 0.0:
+                continue
+            if pb >= 1.0:
+                b = 1
+            else:
+                b = max(
+                    1,
+                    math.ceil(
+                        math.log(1.0 - target_recall) / math.log(1.0 - pb)
+                    ),
+                )
+            if b > max_bands:
+                continue
+            frac = directed_collision_prob(theta_bg, r, b, m)
+            # per-item shuffled index rows: b on the base frame, plus
+            # b·(m+1) on the probed frame under m-bit directed probing
+            probe_rows = b * ((m + 2) if m > 0 else 1.0)
+            cost = (n - 1) * frac + index_row_cost * probe_rows
+            plan = LshPlan(
+                bits_per_band=r,
+                bands=b,
+                multiprobe=m > 0,
+                predicted_recall=directed_collision_prob(theta_dup, r, b, m),
+                candidate_fraction=frac,
+                cost_per_item=cost,
+                probe_bits=m,
+            )
+            if best is None or plan.cost_per_item < best.cost_per_item:
+                best = plan
     if best is None:
         raise ValueError(
             "no config reaches the recall target within the band budget; "
@@ -147,20 +293,41 @@ def plan_sign_lsh(
     multiprobe: bool = True,
     max_bands: int = 128,
     index_row_cost: float = 1.0,
+    probe_bits: int | str = "auto",
 ) -> LshPlan:
     """Size a hyperplane-LSH banding for a corpus of n vectors whose
     duplicate pairs sit at cosine ≥ cos_dup over a background at
     cos_bg (≈0 for random high-dim vectors). Feed the result to
     `embedding_cosine_pairs_lsh` / `lsh_topk` as
     ``num_bits=plan.num_bits, bands=plan.bands,
-    multiprobe=plan.multiprobe``."""
-    return _plan(
-        sign_bit_agreement(cos_dup),
-        sign_bit_agreement(cos_bg),
+    multiprobe=plan.multiprobe, probe_bits=plan.probe_bits``.
+
+    ``probe_bits``: "auto" (default) lets the optimizer choose among
+    no probing, m ∈ {1, 2, 4} query-directed smallest-|margin| flips,
+    and the full per-band flip set — directed probing catches a
+    duplicate's disagreeing bit far above m/r (disagreements
+    concentrate on small margins) while background pairs gain only
+    m/r, so it usually dominates the full probe set on cost at equal
+    recall. An int pins m; ``multiprobe=False`` forbids probing."""
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
+    if not -1.0 <= cos_bg < cos_dup <= 1.0:
+        raise ValueError(f"need cos_bg < cos_dup (got {cos_bg=}, {cos_dup=})")
+    theta_dup = math.acos(min(1.0, max(-1.0, cos_dup)))
+    theta_bg = math.acos(min(1.0, max(-1.0, cos_bg)))
+    if not multiprobe:
+        probe_opts = lambda r: (0,)  # noqa: E731
+    elif probe_bits == "auto":
+        probe_opts = lambda r: sorted({0, 1, 2, min(4, r), r})  # noqa: E731
+    else:
+        m_fixed = int(probe_bits)
+        probe_opts = lambda r: (min(m_fixed, r),)  # noqa: E731
+    return _plan_sign(
+        theta_dup,
+        theta_bg,
         n,
         target_recall,
-        multiprobe,
-        MAX_SIGN_BITS_PER_BAND,
+        probe_opts,
         max_bands,
         index_row_cost,
     )

@@ -127,6 +127,7 @@ def write_ann_lsh_topk(
     num_bits: int,
     multiprobe: bool,
     bands: int = 4,
+    probe_bits: int | None = None,
 ) -> str:
     """lsh_topk mirror → parquet(query_id, neighbor_id)."""
     from web_crawler_spark.operators.similarity import make_hyperplane_udf
@@ -143,7 +144,10 @@ def write_ann_lsh_topk(
     )
     qmask = ids < 10
     probes = np.array(
-        make_hyperplane_udf(dim, num_bits, bands=bands, flip=multiprobe)
+        make_hyperplane_udf(
+            dim, num_bits, bands=bands, flip=multiprobe,
+            probe_bits=probe_bits,
+        )
         .func(emb["embedding"][qmask])
         .tolist(),
         dtype=np.int64,
@@ -298,6 +302,7 @@ def write_embedding_lsh_pairs(
     num_bits: int,
     bands: int = 4,
     multiprobe: bool = False,
+    probe_bits: int | None = None,
 ) -> str:
     """embedding_cosine_pairs_lsh mirror → parquet(id_a, id_b)."""
     from web_crawler_spark.operators.similarity import make_hyperplane_udf
@@ -315,7 +320,9 @@ def write_embedding_lsh_pairs(
     cand: set[tuple[int, int]] = set()
     if multiprobe:
         probe_vals = np.array(
-            make_hyperplane_udf(dim, num_bits, bands=bands, flip=True)
+            make_hyperplane_udf(
+                dim, num_bits, bands=bands, flip=True, probe_bits=probe_bits
+            )
             .func(emb["embedding"])
             .tolist(),
             dtype=np.int64,

