@@ -86,7 +86,11 @@ class _SpanParser(HTMLParser):
                 self._emit("script", None, self._resolve(a["src"]))
             return
         if tag == "a":
-            href = a.get("href")
+            # valueless ``<a href>`` parses as value None in html.parser
+            # but as "" under bs4 — the reference's find_all('a',
+            # href=True) matches it and resolves "" to the base URL
+            # (parser.py:63-69), so mirror that (r5 malformed-HTML fuzz)
+            href = "" if ("href" in a and a["href"] is None) else a.get("href")
             if href is not None and not href.strip().startswith("#"):
                 self._anchor = self._emit("link", None, self._resolve(href))
                 self._anchor_text = []
