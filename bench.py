@@ -163,9 +163,17 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "extra": {
-                    "crawl_urls_visited": stats.total_visits,
-                    "crawl_rounds": stats.rounds,
-                    "crawl_urls_per_sec": round(stats.total_visits / crawl_s, 3),
+                    **(
+                        {
+                            "crawl_urls_visited": stats.total_visits,
+                            "crawl_rounds": stats.rounds,
+                            "crawl_urls_per_sec": round(
+                                stats.total_visits / crawl_s, 3
+                            ),
+                        }
+                        if stats is not None
+                        else {}
+                    ),
                     "cpus": int(CPUS),
                     "repeats": repeats,
                     "samples": samples,

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from web_crawler_spark.functions.text import make_minhash_udf, simhash_udf
+from web_crawler_spark.operators.barrier import barrier, release_on_gc
 
 
 def cap_buckets(
@@ -121,17 +122,17 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_perm // bands
     sig_udf = make_minhash_udf(num_perm=num_perm, shingle_k=shingle_k)
-    # barrier as a lazy localCheckpoint, not persist(): both are a
-    # run-once materialization for the multi-consumer plan below, but
-    # checkpoint blocks are released by the ContextCleaner when the
-    # DataFrame goes out of scope — persist() entries live in the
-    # CacheManager until an explicit unpersist/clearCache, so repeated
-    # calls in a long-lived session accumulate cached plans (advisor
-    # r3). Tradeoff: lineage is truncated, so a lost block fails the
-    # job instead of recomputing — acceptable for query-scoped frames.
-    sigs = docs.select(
-        F.col(id_col).alias("_id"), sig_udf(F.col(text_col)).alias("sig")
-    ).localCheckpoint(eager=False)
+    # run-once materialization for the 3-consumer plan below (banding +
+    # two verify joins). gc_persist semantics: columnar persist() for
+    # the fast re-read, unpersisted when the returned frame is GC'd —
+    # see operators/barrier.py for the measured persist-vs-checkpoint
+    # tradeoff (r5 A/B: checkpoint cost +27 % here).
+    sigs = barrier(
+        docs.select(
+            F.col(id_col).alias("_id"), sig_udf(F.col(text_col)).alias("sig")
+        )
+    )
+    barriers = [sigs]
 
     band_exprs = [
         F.xxhash64(F.slice("sig", i * rows_per_band + 1, rows_per_band)).alias(
@@ -149,9 +150,9 @@ def minhash_lsh_pairs(
     stacked = cap_buckets(stacked, ["band_id", "band_hash"], max_bucket)
     if max_bucket is not None:
         # both join sides reference the capped plan — barrier the
-        # bucket-count window so it runs once, not per side (lazy
-        # localCheckpoint: GC-released, see sigs above)
-        stacked = stacked.localCheckpoint(eager=False)
+        # bucket-count window so it runs once, not per side
+        stacked = barrier(stacked)
+        barriers.append(stacked)
     left = stacked.alias("l")
     right = stacked.alias("r")
     cand = (
@@ -179,7 +180,7 @@ def minhash_lsh_pairs(
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
     )
-    return verified
+    return release_on_gc(verified, *barriers)
 
 
 # ---------------------------------------------------------------------------
@@ -198,9 +199,12 @@ def simhash_pairs(
     (guarantees recall for hamming ≤ 3 over 4 chunks), verify hamming
     distance natively (bit_count of xor). ``max_bucket`` drops
     oversized chunk buckets before the self-join (see `cap_buckets`)."""
-    hashed = docs.select(
-        F.col(id_col).alias("_id"), simhash_udf(F.col(text_col)).alias("sh")
-    ).localCheckpoint(eager=False)  # GC-released barrier (see minhash)
+    hashed = barrier(  # run-once, released with the result (barrier.py)
+        docs.select(
+            F.col(id_col).alias("_id"), simhash_udf(F.col(text_col)).alias("sh")
+        )
+    )
+    barriers = [hashed]
     chunks = hashed.select(
         "_id",
         "sh",
@@ -215,7 +219,8 @@ def simhash_pairs(
     )
     chunks = cap_buckets(chunks, ["chunk_id", "chunk"], max_bucket)
     if max_bucket is not None:
-        chunks = chunks.localCheckpoint(eager=False)
+        chunks = barrier(chunks)
+        barriers.append(chunks)
     l, r = chunks.alias("l"), chunks.alias("r")
     cand = (
         l.join(
@@ -232,12 +237,13 @@ def simhash_pairs(
         )
         .distinct()
     )
-    return (
+    return release_on_gc(
         cand.withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select("id_a", "id_b", "hamming"),
+        *barriers,
     )
 
 
@@ -314,12 +320,10 @@ def ngram_jaccard_pairs(
     # 64-bit collision would need two distinct grams hashing equal —
     # P ≈ n²/2^65, ~1e-9 at 10^6 distinct grams — and the pytest
     # naive-equivalence + DuckDB oracle gates would surface it).
-    grams = (
-        _gram_arrays(docs, id_col, text_col, n)
-        .select(
+    grams = barrier(  # run-once, released with the result (barrier.py)
+        _gram_arrays(docs, id_col, text_col, n).select(
             "_id", F.transform("grams", lambda g: F.xxhash64(g)).alias("grams")
         )
-        .localCheckpoint(eager=False)  # GC-released barrier (see minhash)
     )
     sizes = grams.select("_id", F.size("grams").alias("n_grams"))
     e = grams.select("_id", F.explode("grams").alias("g"))
@@ -359,7 +363,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
-    return verified
+    return release_on_gc(verified, grams)
 
 
 def _expand_ranges(starts, lengths):
@@ -595,7 +599,7 @@ def ngram_jaccard_pairs_naive(
     """Reference implementation (explode → pair counts). Kept as the
     equivalence oracle for the prefix-filtered plan; do not use at
     scale — every shared gram becomes a join key, hot grams included."""
-    grams = _gram_arrays(docs, id_col, text_col, n).localCheckpoint(eager=False)
+    grams = barrier(_gram_arrays(docs, id_col, text_col, n))
     sizes = grams.select("_id", F.size("grams").alias("n_grams"))
     exploded = grams.select("_id", F.explode("grams").alias("g"))
     l, r = exploded.alias("l"), exploded.alias("r")

@@ -1314,11 +1314,14 @@ def q_dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs self-join is a verification tier only (quadratic by
     definition); the registered scale path stays chunk-blocked."""
     from web_crawler_spark.functions.text import simhash_udf
+    from web_crawler_spark.operators.barrier import barrier, release_on_gc
 
     d = _t(spark, sf_dir, "documents")
-    hashed = d.select(
-        F.col("doc_id").alias("_id"), simhash_udf(F.col("text")).alias("sh")
-    ).localCheckpoint(eager=False)
+    hashed = barrier(  # run-once; released with the summary below
+        d.select(
+            F.col("doc_id").alias("_id"), simhash_udf(F.col("text")).alias("sh")
+        )
+    )
     l, r = hashed.alias("l"), hashed.alias("r")
     exact = (
         l.join(r, F.col("l._id") < F.col("r._id"))
@@ -1331,8 +1334,9 @@ def q_dedup_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = simhash_pairs(
         d, "doc_id", "text", max_hamming=SIMHASH_MAX_HAMMING
     )
-    return _recall_summary(
-        "dedup_simhash_recall", exact, approx, ["id_a", "id_b"]
+    return release_on_gc(
+        _recall_summary("dedup_simhash_recall", exact, approx, ["id_a", "id_b"]),
+        hashed,
     )
 
 
