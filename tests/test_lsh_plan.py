@@ -365,3 +365,42 @@ def test_registered_cfgs_are_planner_sized():
         _emb_lsh_cfg("/root/testdata/sf0.1")["num_bits"]
         != _emb_lsh_cfg("/root/testdata/sf0.01")["num_bits"]
     )
+
+
+def test_directed_probing_selected_under_band_budget():
+    """At an unconstrained band budget the optimizer prefers more
+    bands over probing (probing trades background-candidate mass for
+    fewer index rows); when max_bands binds, the m smallest-|margin|
+    probe is the cheaper recall lever and must be selected — the
+    planner path that exercises probe_bits > 0 in production."""
+    free = plan_sign_lsh(2_000, cos_dup=0.4, cos_bg=0.0,
+                         target_recall=0.93, max_bands=128)
+    tight = plan_sign_lsh(2_000, cos_dup=0.4, cos_bg=0.0,
+                          target_recall=0.93, max_bands=32)
+    assert free.probe_bits == 0 and not free.multiprobe
+    assert tight.probe_bits > 0 and tight.multiprobe
+    assert tight.bands <= 32
+
+
+def test_registered_minhash_cfg_is_planner_sized():
+    """Same wiring contract for the minhash tier: the registered
+    (num_perm, bands) equals plan_minhash at the documents footer
+    count, and the production-scale plan differs from the fixture one
+    (wider bands at 10^9 — the sizing actually responds to n)."""
+    from web_crawler_spark.queries import (
+        MINHASH_CALIB,
+        _corpus_n,
+        _minhash_cfg,
+    )
+
+    for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        n = _corpus_n(sf, "documents")
+        cfg = _minhash_cfg(sf)
+        plan = plan_minhash(n, **MINHASH_CALIB)
+        assert cfg["num_perm"] == plan.num_bits
+        assert cfg["bands"] == plan.bands
+        assert cfg["num_perm"] % cfg["bands"] == 0
+    fixture = plan_minhash(500, **MINHASH_CALIB)
+    prod = plan_minhash(10**9, **MINHASH_CALIB)
+    assert prod.bits_per_band > fixture.bits_per_band
+    assert prod.candidate_fraction < fixture.candidate_fraction

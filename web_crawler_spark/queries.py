@@ -756,7 +756,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (rows-only; recall gated by
     `dedup_minhash_recall` against exact char-shingle Jaccard)."""
     d = _twide(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, "doc_id", "text", **MINHASH_PARAMS)
+    return minhash_lsh_pairs(d, "doc_id", "text", **_minhash_cfg(sf_dir))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1042,7 +1042,8 @@ ANN_LSH_CALIB = dict(cos_dup=0.33, cos_bg=0.0, target_recall=0.95)
 ANN_LSH_BASE = dict(dim=64, k=5)
 ANN_IVF_PARAMS = dict(dim=64, k=5, num_centroids=16, nprobe=10, iters=2)
 IVF_SAMPLE_PARAMS = dict(sample_rate=0.5, seed=13, salt="ivf")
-MINHASH_PARAMS = dict(num_perm=64, bands=16, shingle_k=5, threshold=0.5)
+MINHASH_CALIB = dict(j_dup=0.5, j_bg=0.05, target_recall=0.97)
+MINHASH_BASE = dict(shingle_k=5, threshold=0.5)
 SIMHASH_MAX_HAMMING = 3
 EMB_LSH_CALIB = dict(cos_dup=0.4, cos_bg=0.0, target_recall=0.93)
 EMB_LSH_BASE = dict(dim=64, threshold=0.4)
@@ -1083,6 +1084,26 @@ def _emb_lsh_cfg(sf_dir: str) -> dict:
         bands=plan.bands,
         multiprobe=plan.multiprobe,
         probe_bits=plan.probe_bits,
+    )
+
+
+@_lsh_cfg_cache
+def _minhash_cfg(sf_dir: str) -> dict:
+    """Planner-sized minhash banding (r5, symmetric with the sign-LSH
+    wiring): (num_perm, bands) from `plan_minhash` at the parquet-
+    footer doc count, calibrated at the worst-case pair Jaccard = the
+    verify threshold itself. The planner's recall target is evaluated
+    at that worst case; fixture near-dups spread above it, so the
+    measured gate (floor 0.95) sits above the 0.97 target. Note the
+    100 TB caveat the cost model exposes: with the default
+    max_bands=64 budget the band width tops out where recall is still
+    reachable — at 10^9 docs a user should raise max_bands (more
+    permutations) to buy narrower buckets; see plan_minhash docs."""
+    from web_crawler_spark.operators.lsh_plan import plan_minhash
+
+    plan = plan_minhash(_corpus_n(sf_dir, "documents"), **MINHASH_CALIB)
+    return dict(
+        **MINHASH_BASE, num_perm=plan.num_bits, bands=plan.bands
     )
 
 
@@ -1296,11 +1317,11 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         d,
         "doc_id",
         "text",
-        n=MINHASH_PARAMS["shingle_k"],
-        threshold=MINHASH_PARAMS["threshold"],
+        n=MINHASH_BASE["shingle_k"],
+        threshold=MINHASH_BASE["threshold"],
         char=True,
     )
-    approx = minhash_lsh_pairs(d, "doc_id", "text", **MINHASH_PARAMS)
+    approx = minhash_lsh_pairs(d, "doc_id", "text", **_minhash_cfg(sf_dir))
     return _recall_summary(
         "dedup_minhash_recall", exact, approx, ["id_a", "id_b"]
     )
@@ -1459,9 +1480,10 @@ def _ann_ivf_recall_oracle() -> str:
 def _minhash_recall_oracle() -> str:
     from web_crawler_spark.oracle.approx_mirror import write_minhash_pairs
 
-    p = write_minhash_pairs(_mirror_sf_dir(), **MINHASH_PARAMS)
-    k = MINHASH_PARAMS["shingle_k"]
-    thr = MINHASH_PARAMS["threshold"]
+    cfg = _minhash_cfg(_mirror_sf_dir())
+    p = write_minhash_pairs(_mirror_sf_dir(), **cfg)
+    k = cfg["shingle_k"]
+    thr = cfg["threshold"]
     return (
         f"""
 WITH g AS (
