@@ -1040,7 +1040,7 @@ SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim FROM (
 # spread above it — measured recall lands above the target.
 ANN_LSH_CALIB = dict(cos_dup=0.33, cos_bg=0.0, target_recall=0.95)
 ANN_LSH_BASE = dict(dim=64, k=5)
-ANN_IVF_PARAMS = dict(dim=64, k=5, num_centroids=16, nprobe=10, iters=2)
+ANN_IVF_PARAMS = dict(dim=64, k=5, num_centroids=16, nprobe=12, iters=2)
 IVF_SAMPLE_PARAMS = dict(sample_rate=0.5, seed=13, salt="ivf")
 MINHASH_CALIB = dict(j_dup=0.5, j_bg=0.05, target_recall=0.97)
 MINHASH_BASE = dict(shingle_k=5, threshold=0.5)
@@ -1212,7 +1212,13 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # values at sf0.01 AND sf0.1 with safety margin (see BENCH.md §recall)
 RECALL_FLOORS_BP = {
     "ann_lsh_recall": 8500,  # measured 9400 (sf0.1) / 9800 (sf0.01)
-    "ann_ivf_recall": 8000,  # measured 8600 (sf0.1) / 9200 (sf0.01)
+    # r5 nprobe sweep (tools/bench_ivf_nprobe.py): recall tracks the
+    # scanned fraction near-linearly on this near-uniform corpus (no
+    # knee), so the floor is bought with probes: nprobe 10->12 lifts
+    # recall 8600->9200 (sf0.1) / 9200->9400 (sf0.01) at 1.21x scan
+    # cost (0.75n vs 0.62n), flat wall at this n. Deterministic, so
+    # the 2-point margin over the floor cannot drift run-to-run.
+    "ann_ivf_recall": 9000,  # measured 9200 (sf0.1) / 9400 (sf0.01)
     "dedup_minhash_recall": 9500,  # measured 10000 / 10000
     "dedup_simhash_recall": 10000,  # provably lossless (pigeonhole)
     "dedup_embedding_lsh_recall": 8500,  # measured 9110 / 9660
@@ -1285,8 +1291,8 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@5 of `ann_ivf_topk` (sample-trained quantizer, nprobe=4)
-    vs brute force, floor-asserted."""
+    """recall@5 of `ann_ivf_topk` (sample-trained quantizer,
+    nprobe=ANN_IVF_PARAMS['nprobe']) vs brute force, floor-asserted."""
     from web_crawler_spark.operators.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
