@@ -146,15 +146,26 @@ def prepare_minhash_input(n_docs: int) -> None:
 def run_minhash(spark: SparkSession) -> tuple[int, float]:
     """The flagship LLM-pipeline dedup tier end-to-end, exactly the
     registered q_dedup_minhash shape: signature UDF → banded bucket
-    self-join → pair dedupe → signature-agreement verify → noop."""
+    self-join → pair dedupe → signature-agreement verify → noop.
+
+    The banding is sized by the SAME planner + calibration the
+    registered query uses (`queries.MINHASH_CALIB` → `plan_minhash`),
+    so the scaling evidence measures the shipped config at this corpus
+    count (220 perms × 55 bands at 360k docs), not the r3-era fixed
+    64×16 whose at-threshold recall the planner work showed to be 0.64."""
     from web_crawler_spark.operators.dedup import minhash_lsh_pairs
+    from web_crawler_spark.operators.lsh_plan import plan_minhash
+    from web_crawler_spark.queries import MINHASH_BASE, MINHASH_CALIB
 
     docs = spark.read.parquet(f"{MINHASH_DIR}/documents")
     n = docs.count()
+    plan = plan_minhash(n, **MINHASH_CALIB)
     t0 = time.time()
     minhash_lsh_pairs(
-        docs, "doc_id", "text", num_perm=64, bands=16, shingle_k=5,
-        threshold=0.5,
+        docs, "doc_id", "text",
+        num_perm=plan.num_bits, bands=plan.bands,
+        shingle_k=MINHASH_BASE["shingle_k"],
+        threshold=MINHASH_BASE["threshold"],
     ).write.format("noop").mode("overwrite").save()
     return n, time.time() - t0
 
