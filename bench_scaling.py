@@ -220,7 +220,17 @@ def run_ann(spark: SparkSession) -> tuple[int, float]:
     """The ANN similarity-search tier end-to-end, exactly the
     registered ann_lsh_topk shape: hyperplane band UDF → (band,
     bucket) equi-join → candidate dedupe → numpy cosine re-rank →
-    per-query top-k window → noop."""
+    per-query top-k window → noop.
+
+    Config is deliberately FIXED (32 bits = 4 bands × 8), unlike the
+    minhash job which takes the planner's sizing: `ANN_LSH_CALIB`'s
+    near-random cos_dup=0.33 threshold makes the planner concede a
+    0.39 candidate fraction (LSH can't separate 0.33 from 0.0 —
+    ρ≈1), which on this synthetic 2.4M corpus would measure a
+    near-brute-force re-rank, not the band-join plan whose N→4N
+    parallelism this bench exists to evidence. The plan SHAPE
+    (UDF → slim equi-join → re-rank → window) is identical at any
+    banding; only constant factors move."""
     from web_crawler_spark.operators.similarity import lsh_topk
 
     corpus = spark.read.parquet(f"{ANN_DIR}/corpus")
