@@ -148,18 +148,27 @@ def run_minhash(spark: SparkSession) -> tuple[int, float]:
     registered q_dedup_minhash shape: signature UDF → banded bucket
     self-join → pair dedupe → signature-agreement verify → noop.
 
-    The banding is sized by the SAME planner + calibration the
-    registered query uses (`queries.MINHASH_CALIB` → `plan_minhash`),
-    so the scaling evidence measures the shipped config at this corpus
-    count (220 perms × 55 bands at 360k docs), not the r3-era fixed
-    64×16 whose at-threshold recall the planner work showed to be 0.64."""
+    The banding is sized by the SAME sizing protocol the registered
+    query uses (`queries.MINHASH_CALIB` + measured-background
+    `plan_minhash` — the corpus's own pair-Jaccard quantiles, not a
+    guessed point), so the scaling evidence measures the shipped
+    protocol at this corpus, not the r3-era fixed 64×16 whose
+    at-threshold recall the planner work showed to be 0.64. The
+    recorded r4/r5 sessions ran 220 perms × 55 bands at 360k docs —
+    the same sizing the measured-background fixture plan now picks."""
     from web_crawler_spark.operators.dedup import minhash_lsh_pairs
-    from web_crawler_spark.operators.lsh_plan import plan_minhash
+    from web_crawler_spark.operators.lsh_plan import (
+        measure_jaccard_background,
+        plan_minhash,
+    )
     from web_crawler_spark.queries import MINHASH_BASE, MINHASH_CALIB
 
     docs = spark.read.parquet(f"{MINHASH_DIR}/documents")
     n = docs.count()
-    plan = plan_minhash(n, **MINHASH_CALIB)
+    bg = measure_jaccard_background(
+        f"{MINHASH_DIR}/documents", shingle_k=MINHASH_BASE["shingle_k"]
+    )
+    plan = plan_minhash(n, j_bg=bg, **MINHASH_CALIB)
     t0 = time.time()
     minhash_lsh_pairs(
         docs, "doc_id", "text",

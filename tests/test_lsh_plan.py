@@ -350,13 +350,15 @@ def test_registered_cfgs_are_planner_sized():
         _emb_lsh_cfg,
     )
 
+    from web_crawler_spark.queries import measured_cosine_bg
+
     for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
         n = _corpus_n(sf, "embeddings")
         for cfg, calib in (
             (_emb_lsh_cfg(sf), EMB_LSH_CALIB),
             (_ann_lsh_cfg(sf), ANN_LSH_CALIB),
         ):
-            plan = plan_sign_lsh(n, **calib)
+            plan = plan_sign_lsh(n, cos_bg=measured_cosine_bg(sf), **calib)
             assert cfg["num_bits"] == plan.num_bits
             assert cfg["bands"] == plan.bands
             assert cfg["multiprobe"] == plan.multiprobe
@@ -393,14 +395,72 @@ def test_registered_minhash_cfg_is_planner_sized():
         _minhash_cfg,
     )
 
+    from web_crawler_spark.queries import measured_jaccard_bg
+
     for sf in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
         n = _corpus_n(sf, "documents")
         cfg = _minhash_cfg(sf)
-        plan = plan_minhash(n, **MINHASH_CALIB)
+        plan = plan_minhash(n, j_bg=measured_jaccard_bg(sf), **MINHASH_CALIB)
         assert cfg["num_perm"] == plan.num_bits
         assert cfg["bands"] == plan.bands
         assert cfg["num_perm"] % cfg["bands"] == 0
+    # with the planner's default (guessed, low) background the sizing
+    # still responds to n — the log-n band-width growth contract
     fixture = plan_minhash(500, **MINHASH_CALIB)
     prod = plan_minhash(10**9, **MINHASH_CALIB)
     assert prod.bits_per_band > fixture.bits_per_band
     assert prod.candidate_fraction < fixture.candidate_fraction
+
+
+def test_measured_background_rejects_narrow_bands():
+    """The r5.1 mis-calibration fix (BENCH.md §3b-app): the fixture
+    documents corpus runs background pair-Jaccard FAR above the
+    textbook 0.05 guess, and the measured-background plan must (a)
+    see that, (b) buy wider bands than the guess did, and (c) cost
+    strictly fewer expected candidates against the REAL distribution
+    than the guess-sized plan does."""
+    from web_crawler_spark.operators.lsh_plan import (
+        collision_prob,
+        measure_jaccard_background,
+        plan_minhash,
+    )
+
+    bg = measure_jaccard_background(
+        "/root/testdata/sf0.1/documents.parquet", shingle_k=5
+    )
+    bg2 = measure_jaccard_background(
+        "/root/testdata/sf0.1/documents.parquet", shingle_k=5
+    )
+    assert np.array_equal(bg, bg2)  # deterministic sample
+    assert 0.1 < float(np.mean(bg)) < 0.3  # boilerplate-heavy, not 0.05
+    n = 5000
+    guessed = plan_minhash(n, j_dup=0.5, j_bg=0.05, target_recall=0.97)
+    measured = plan_minhash(n, j_dup=0.5, j_bg=bg, target_recall=0.97)
+    assert measured.bits_per_band > guessed.bits_per_band
+
+    def true_frac(plan):
+        kept = bg[bg < 0.5]
+        return float(
+            np.mean(
+                [
+                    collision_prob(p, plan.bits_per_band, plan.bands)
+                    for p in kept
+                ]
+            )
+        )
+
+    # evaluated against the measured distribution, the guess-sized
+    # plan pays materially more candidate mass (13% of all pairs at
+    # the fixture — the regression this fix removes)
+    assert true_frac(measured) < 0.6 * true_frac(guessed)
+    # recall at the threshold itself still clears the target
+    assert measured.predicted_recall >= 0.97
+
+
+def test_background_all_duplicates_is_loud():
+    """A background sample entirely at/above the duplicate threshold
+    must raise, not silently plan for an empty background."""
+    from web_crawler_spark.operators.lsh_plan import plan_minhash
+
+    with pytest.raises(ValueError, match="all-duplicates"):
+        plan_minhash(10**6, j_dup=0.5, j_bg=np.array([0.5, 0.7, 0.9]))

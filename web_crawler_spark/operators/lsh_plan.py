@@ -163,6 +163,144 @@ def directed_collision_prob(theta: float, r: int, b: int, m: int) -> float:
     return 1.0 - (1.0 - directed_band_collision_prob(theta, r, m)) ** b
 
 
+# ---------------------------------------------------------------------------
+# measured background distributions (r5): cost candidates against the
+# corpus's OWN pair-similarity distribution instead of a guessed point.
+# Motivation (BENCH.md §3b-app): the fixture documents corpus has
+# random-pair Jaccard mean 0.18 / p90 0.25, not the 0.05 the minhash
+# calibration guessed — the mis-calibrated planner sized 3-row bands
+# whose banding join emitted 13 % of ALL pairs as candidates (1.66M at
+# n = 5,000), exactly 27·0.18³. The S-curve is convex in the upper
+# tail, so no single quantile is a safe point summary; the planner
+# therefore takes a VECTOR of sampled background quantiles and costs
+# the expected candidate fraction over it.
+# ---------------------------------------------------------------------------
+
+
+def _bg_points(bg, dup: float, name: str) -> np.ndarray:
+    """Normalize a background spec (scalar, or a sampled quantile
+    vector from `measure_*_background`) to a 1-D array strictly below
+    the duplicate threshold. Sampled points at or above the threshold
+    ARE duplicates under the operator's own definition — recall mass,
+    not background cost — so they are dropped, not clamped."""
+    arr = np.atleast_1d(np.asarray(bg, dtype=np.float64))
+    kept = arr[arr < dup]
+    if kept.size == 0:
+        raise ValueError(
+            f"every sampled {name} point is >= the duplicate threshold "
+            f"{dup}; under this calibration the corpus is all-duplicates "
+            "— raise the threshold or check the sample"
+        )
+    return kept
+
+
+def _read_parquet_head(path: str, columns: list, scan_cap: int):
+    """Driver-side bounded read: the first `scan_cap` rows of the
+    pruned columns — O(scan_cap) I/O regardless of corpus size (the
+    same flat cost a 100 TB corpus pays), no Spark job. `path` may be
+    a single parquet file or a directory of part files (the first
+    files in sorted name order are read until the cap)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+    else:
+        parts = [path]
+    batches, got = [], 0
+    for part in parts:
+        for batch in pq.ParquetFile(part).iter_batches(
+            batch_size=min(scan_cap, 4096), columns=columns
+        ):
+            batches.append(batch)
+            got += batch.num_rows
+            if got >= scan_cap:
+                break
+        if got >= scan_cap:
+            break
+    return pa.Table.from_batches(batches).slice(0, scan_cap).to_pandas()
+
+
+def _stable_sample_idx(ids, k: int, salt: str = "lshbg") -> np.ndarray:
+    """Indices of the k ids with smallest md5(salt + id) — the same
+    deterministic order-independent sampling idiom the IVF centroid
+    trainer uses (operators/similarity.py), so two runs (and the
+    recall mirror) measure the identical subsample."""
+    import hashlib
+
+    keys = np.array(
+        [hashlib.md5((salt + str(i)).encode()).hexdigest() for i in ids]
+    )
+    return np.argsort(keys, kind="stable")[:k]
+
+
+def _pair_quantiles(vals: np.ndarray, q_points: int) -> np.ndarray:
+    """q_points evenly spaced quantiles (midpoint rule) of the sampled
+    pair-similarity values — a compact deterministic summary the
+    planner can integrate the S-curve over."""
+    qs = (np.arange(q_points) + 0.5) / q_points
+    return np.quantile(vals, qs)
+
+
+def measure_jaccard_background(
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 5,
+    num_perm: int = 128,
+    k: int = 256,
+    scan_cap: int = 8192,
+    q_points: int = 33,
+) -> np.ndarray:
+    """Measured background pair-Jaccard distribution of a document
+    corpus: `q_points` quantiles over ALL pairs of a deterministic
+    k-doc sample (bounded I/O via `_read_parquet_head`). Similarity is
+    minhash-signature agreement under the SAME kernel the operator
+    uses (`functions.text.make_minhash_udf`), so the measured
+    distribution is exactly what the banding join will see. Feed the
+    result to ``plan_minhash(j_bg=...)``."""
+    from web_crawler_spark.functions.text import make_minhash_udf
+
+    df = _read_parquet_head(path, [id_col, text_col], scan_cap)
+    idx = _stable_sample_idx(df[id_col].tolist(), k)
+    texts = df[text_col].iloc[idx].reset_index(drop=True)
+    sig_fn = make_minhash_udf(num_perm=num_perm, shingle_k=shingle_k).func
+    sigs = np.array(sig_fn(texts).tolist())
+    agree = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+    iu = np.triu_indices(len(sigs), 1)
+    return _pair_quantiles(agree[iu], q_points)
+
+
+def measure_cosine_background(
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 512,
+    scan_cap: int = 8192,
+    q_points: int = 17,
+) -> np.ndarray:
+    """Measured background pair-cosine distribution of an embedding
+    corpus (same deterministic bounded-sample protocol as
+    `measure_jaccard_background`). Feed to
+    ``plan_sign_lsh(cos_bg=...)``."""
+    df = _read_parquet_head(path, [id_col, vec_col], scan_cap)
+    idx = _stable_sample_idx(df[id_col].tolist(), k)
+    v = np.vstack(df[vec_col].iloc[idx].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(v, axis=1, keepdims=True)
+    v = v / np.where(norms == 0.0, 1.0, norms)
+    gram = v @ v.T
+    iu = np.triu_indices(len(v), 1)
+    return _pair_quantiles(np.clip(gram[iu], -1.0, 1.0), q_points)
+
+
 @dataclass(frozen=True)
 class LshPlan:
     """A planned banding config plus its model predictions."""
@@ -195,8 +333,9 @@ def _plan(
     max_bands: int,
     index_row_cost: float,
 ) -> LshPlan:
-    if not p_bg < p_dup <= 1.0:
-        raise ValueError(f"need p_bg < p_dup <= 1 (got {p_bg=}, {p_dup=})")
+    if not 0.0 < p_dup <= 1.0:
+        raise ValueError(f"need 0 < p_dup <= 1 (got {p_dup=})")
+    bg = _bg_points(p_bg, p_dup, "background similarity")
     if not 0.0 < target_recall < 1.0:
         raise ValueError("target_recall must be in (0, 1)")
     best: LshPlan | None = None
@@ -209,7 +348,13 @@ def _plan(
             b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pb))
         if b > max_bands:
             continue  # this width can't reach the target affordably
-        frac = collision_prob(p_bg, r, b, multiprobe)
+        # expected candidate fraction over the (sampled) background
+        # similarity distribution — the S-curve is convex in its upper
+        # tail, so integrating over measured quantiles is materially
+        # more honest than any single-point bg summary
+        frac = float(
+            np.mean([collision_prob(p, r, b, multiprobe) for p in bg])
+        )
         # expected per-item work: candidate partners generated among the
         # other n−1 items, plus the index rows this item emits into the
         # band join (each a shuffled row): b on the base frame, plus
@@ -237,13 +382,14 @@ def _plan(
 
 def _plan_sign(
     theta_dup: float,
-    theta_bg: float,
+    theta_bg,
     n: int,
     target_recall: float,
     probe_opts,
     max_bands: int,
     index_row_cost: float,
 ) -> LshPlan:
+    thetas = np.atleast_1d(np.asarray(theta_bg, dtype=np.float64))
     best: LshPlan | None = None
     for r in range(1, MAX_SIGN_BITS_PER_BAND + 1):
         for m in probe_opts(r):
@@ -261,7 +407,15 @@ def _plan_sign(
                 )
             if b > max_bands:
                 continue
-            frac = directed_collision_prob(theta_bg, r, b, m)
+            # expected fraction over the (sampled) background angles
+            frac = float(
+                np.mean(
+                    [
+                        directed_collision_prob(float(th), r, b, m)
+                        for th in thetas
+                    ]
+                )
+            )
             # per-item shuffled index rows: b on the base frame, plus
             # b·(m+1) on the probed frame under m-bit directed probing
             probe_rows = b * ((m + 2) if m > 0 else 1.0)
@@ -297,7 +451,10 @@ def plan_sign_lsh(
 ) -> LshPlan:
     """Size a hyperplane-LSH banding for a corpus of n vectors whose
     duplicate pairs sit at cosine ≥ cos_dup over a background at
-    cos_bg (≈0 for random high-dim vectors). Feed the result to
+    cos_bg — a guessed scalar (≈0 for random high-dim vectors), or
+    the measured quantile vector from `measure_cosine_background`,
+    which captures the correlated upper tail a point guess misses.
+    Feed the result to
     `embedding_cosine_pairs_lsh` / `lsh_topk` as
     ``num_bits=plan.num_bits, bands=plan.bands,
     multiprobe=plan.multiprobe, probe_bits=plan.probe_bits``.
@@ -311,10 +468,14 @@ def plan_sign_lsh(
     recall. An int pins m; ``multiprobe=False`` forbids probing."""
     if not 0.0 < target_recall < 1.0:
         raise ValueError("target_recall must be in (0, 1)")
-    if not -1.0 <= cos_bg < cos_dup <= 1.0:
-        raise ValueError(f"need cos_bg < cos_dup (got {cos_bg=}, {cos_dup=})")
+    if not -1.0 <= cos_dup <= 1.0:
+        raise ValueError(f"need -1 <= cos_dup <= 1 (got {cos_dup=})")
+    # cos_bg: a guessed scalar, or a measured quantile vector from
+    # `measure_cosine_background` — points at/above cos_dup are
+    # duplicate mass, not background cost (dropped by _bg_points)
+    bg = _bg_points(cos_bg, cos_dup, "background cosine")
     theta_dup = math.acos(min(1.0, max(-1.0, cos_dup)))
-    theta_bg = math.acos(min(1.0, max(-1.0, cos_bg)))
+    theta_bg = np.arccos(np.clip(bg, -1.0, 1.0))
     if not multiprobe:
         probe_opts = lambda r: (0,)  # noqa: E731
     elif probe_bits == "auto":
@@ -336,17 +497,22 @@ def plan_sign_lsh(
 def plan_minhash(
     n: int,
     j_dup: float,
-    j_bg: float = 0.05,
+    j_bg=0.05,
     target_recall: float = 0.9,
     max_rows_per_band: int = 16,
     max_bands: int = 64,
     index_row_cost: float = 1.0,
 ) -> LshPlan:
     """Size a minhash banding for a corpus of n documents whose
-    near-dup pairs have Jaccard ≥ j_dup over a background at j_bg.
-    Feed to `minhash_lsh_pairs` as ``num_perm=plan.num_bits,
-    bands=plan.bands`` (bits_per_band = rows per band; no multiprobe
-    — band hashes are xxhash64 digests, not bit-decomposable)."""
+    near-dup pairs have Jaccard ≥ j_dup over a background at j_bg —
+    a guessed scalar, or (better) the measured quantile vector from
+    `measure_jaccard_background(path)`: the planner then integrates
+    the candidate cost over the corpus's real pair-Jaccard
+    distribution instead of a point guess (boilerplate-heavy corpora
+    sit far above the textbook 0.05). Feed to `minhash_lsh_pairs` as
+    ``num_perm=plan.num_bits, bands=plan.bands`` (bits_per_band =
+    rows per band; no multiprobe — band hashes are xxhash64 digests,
+    not bit-decomposable)."""
     return _plan(
         j_dup,
         j_bg,

@@ -1038,15 +1038,21 @@ SELECT query_id, neighbor_id, round(cs, 4) AS cos_sim FROM (
 # RECALL_FLOORS_BP floors because the target is evaluated at the
 # WORST-CASE pair cosine (the threshold itself) while real pairs
 # spread above it — measured recall lands above the target.
-ANN_LSH_CALIB = dict(cos_dup=0.33, cos_bg=0.0, target_recall=0.95)
+ANN_LSH_CALIB = dict(cos_dup=0.33, target_recall=0.95)
 ANN_LSH_BASE = dict(dim=64, k=5)
 ANN_IVF_PARAMS = dict(dim=64, k=5, num_centroids=16, nprobe=12, iters=2)
 IVF_SAMPLE_PARAMS = dict(sample_rate=0.5, seed=13, salt="ivf")
-MINHASH_CALIB = dict(j_dup=0.5, j_bg=0.05, target_recall=0.97)
+MINHASH_CALIB = dict(j_dup=0.5, target_recall=0.97)
 MINHASH_BASE = dict(shingle_k=5, threshold=0.5)
 SIMHASH_MAX_HAMMING = 3
-EMB_LSH_CALIB = dict(cos_dup=0.4, cos_bg=0.0, target_recall=0.93)
+EMB_LSH_CALIB = dict(cos_dup=0.4, target_recall=0.93)
 EMB_LSH_BASE = dict(dim=64, threshold=0.4)
+# the background side of each calibration is MEASURED from the corpus
+# (quantile vector via lsh_plan.measure_*_background, deterministic
+# bounded sample) rather than guessed: the fixture documents corpus
+# runs pair-Jaccard mean 0.18 — 3.6x the textbook 0.05 guess that
+# made the r5.0 planner size 3-row bands emitting 13% of ALL pairs
+# as candidates (BENCH.md §3b-app, "measured background")
 
 
 def _corpus_n(sf_dir: str, table: str) -> int:
@@ -1070,6 +1076,42 @@ def _lsh_cfg_cache(fn):
     return wrapped
 
 
+_BG_CACHE: dict = {}
+
+
+def measured_jaccard_bg(sf_dir: str):
+    """Measured background pair-Jaccard quantiles of the documents
+    corpus (deterministic bounded sample; cached per sf_dir). Uses the
+    registered shingle width so the planner sees the same similarity
+    the operator's banding join will."""
+    key = ("jaccard", sf_dir)
+    if key not in _BG_CACHE:
+        from web_crawler_spark.operators.lsh_plan import (
+            measure_jaccard_background,
+        )
+
+        _BG_CACHE[key] = measure_jaccard_background(
+            os.path.join(sf_dir, "documents.parquet"),
+            shingle_k=MINHASH_BASE["shingle_k"],
+        )
+    return _BG_CACHE[key]
+
+
+def measured_cosine_bg(sf_dir: str):
+    """Measured background pair-cosine quantiles of the embeddings
+    corpus (deterministic bounded sample; cached per sf_dir)."""
+    key = ("cosine", sf_dir)
+    if key not in _BG_CACHE:
+        from web_crawler_spark.operators.lsh_plan import (
+            measure_cosine_background,
+        )
+
+        _BG_CACHE[key] = measure_cosine_background(
+            os.path.join(sf_dir, "embeddings.parquet")
+        )
+    return _BG_CACHE[key]
+
+
 @_lsh_cfg_cache
 def _emb_lsh_cfg(sf_dir: str) -> dict:
     """Planner-sized banding for `embedding_cosine_pairs_lsh` at this
@@ -1077,7 +1119,11 @@ def _emb_lsh_cfg(sf_dir: str) -> dict:
     gate, and the DuckDB mirror."""
     from web_crawler_spark.operators.lsh_plan import plan_sign_lsh
 
-    plan = plan_sign_lsh(_corpus_n(sf_dir, "embeddings"), **EMB_LSH_CALIB)
+    plan = plan_sign_lsh(
+        _corpus_n(sf_dir, "embeddings"),
+        cos_bg=measured_cosine_bg(sf_dir),
+        **EMB_LSH_CALIB,
+    )
     return dict(
         **EMB_LSH_BASE,
         num_bits=plan.num_bits,
@@ -1094,14 +1140,24 @@ def _minhash_cfg(sf_dir: str) -> dict:
     footer doc count, calibrated at the worst-case pair Jaccard = the
     verify threshold itself. The planner's recall target is evaluated
     at that worst case; fixture near-dups spread above it, so the
-    measured gate (floor 0.95) sits above the 0.97 target. Note the
-    100 TB caveat the cost model exposes: with the default
-    max_bands=64 budget the band width tops out where recall is still
-    reachable — at 10^9 docs a user should raise max_bands (more
-    permutations) to buy narrower buckets; see plan_minhash docs."""
+    measured gate (floor 0.95) sits above the 0.97 target. The
+    background side is MEASURED (`measured_jaccard_bg`): this
+    corpus's boilerplate-heavy pair-Jaccard distribution (mean 0.18)
+    makes the planner reject the 3-row bands a 0.05 guess bought —
+    those bands emitted 13% of ALL pairs as candidates (BENCH.md
+    §3b-app) — in favor of 4-row bands at ~1.9x lower expected
+    candidate mass. Note the 100 TB caveat the cost model exposes:
+    with the default max_bands=64 budget the band width tops out
+    where recall is still reachable — at 10^9 docs a user should
+    raise max_bands (more permutations) to buy narrower buckets; see
+    plan_minhash docs."""
     from web_crawler_spark.operators.lsh_plan import plan_minhash
 
-    plan = plan_minhash(_corpus_n(sf_dir, "documents"), **MINHASH_CALIB)
+    plan = plan_minhash(
+        _corpus_n(sf_dir, "documents"),
+        j_bg=measured_jaccard_bg(sf_dir),
+        **MINHASH_CALIB,
+    )
     return dict(
         **MINHASH_BASE, num_perm=plan.num_bits, bands=plan.bands
     )
@@ -1113,7 +1169,11 @@ def _ann_lsh_cfg(sf_dir: str) -> dict:
     three-way sharing contract as `_emb_lsh_cfg`)."""
     from web_crawler_spark.operators.lsh_plan import plan_sign_lsh
 
-    plan = plan_sign_lsh(_corpus_n(sf_dir, "embeddings"), **ANN_LSH_CALIB)
+    plan = plan_sign_lsh(
+        _corpus_n(sf_dir, "embeddings"),
+        cos_bg=measured_cosine_bg(sf_dir),
+        **ANN_LSH_CALIB,
+    )
     return dict(
         **ANN_LSH_BASE,
         num_bits=plan.num_bits,
