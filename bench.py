@@ -38,6 +38,9 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "dedup_clusters",
     "text_quality",
+    "quality_gopher",
+    "pii_scrub",
+    "contamination_ngrams",
     "dataset_split",
     "ann_brute_force_topk",
     "ann_lsh_topk",

@@ -1,0 +1,131 @@
+"""Training-data curation tier (r5): Gopher-style quality filter, PII
+scrub, benchmark-contamination check. Value parity vs DuckDB is the
+driver oracle's job (quality_gopher / pii_scrub / contamination_ngrams
+rows in CORRECTNESS); here we pin the plan shapes the 100 TB design
+depends on (no exchange on the per-row filters, broadcast on the
+benchmark key set) and the kernel semantics on crafted edge cases.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_crawler_spark.functions.text import (
+    pii_scrub_col,
+    word_ngrams_col,
+    words_col,
+)
+from web_crawler_spark.queries import (
+    q_contamination_ngrams,
+    q_pii_scrub,
+    q_quality_gopher,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_quality_gopher_plan_has_no_exchange(spark):
+    """The filter is a pure projection: scan → project, no shuffle at
+    any corpus size."""
+    plan = q_quality_gopher(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_pii_scrub_plan_has_no_exchange(spark):
+    plan = q_pii_scrub(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The benchmark gram-key set must broadcast: the corpus (100 TB)
+    side then joins map-side without shuffling."""
+    plan = (
+        q_contamination_ngrams(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# n-gram window semantics
+# ---------------------------------------------------------------------------
+
+
+def test_word_ngrams_windows_and_short_doc(spark):
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b",), ("solo",)], ["text"]
+    ).select(word_ngrams_col(words_col(F.col("text")), 3).alias("g"))
+    got = [r["g"] for r in df.collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == [] and got[2] == []
+
+
+# ---------------------------------------------------------------------------
+# PII scrub kernel
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        (
+            "reach john.doe+x@mail.example.co or 192.168.0.1 or +44-123-4567",
+            "reach <EMAIL> or <IP> or <PHONE>",
+        ),
+        ("a@b.co", "<EMAIL>"),
+        # two of a kind both replaced (replace-all, not replace-first)
+        ("x@y.io then z@w.ai", "<EMAIL> then <EMAIL>"),
+        # \b is only a word boundary: inside a 5-octet run the matcher
+        # still finds a 4-octet window starting past the first dot —
+        # pinned here so the DuckDB RE2 mirror provably agrees
+        ("v1.2.3.4.5 run", "v1.<IP> run"),
+        # order: the email eats its dotted domain before the IP pass
+        ("u@10.0.0.1ab.com x", "<EMAIL> x"),
+        ("no pii here", "no pii here"),
+    ],
+)
+def test_pii_scrub_cases(spark, raw, expected):
+    out = (
+        spark.createDataFrame([(raw,)], ["t"])
+        .select(pii_scrub_col(F.col("t")).alias("s"))
+        .head()["s"]
+    )
+    assert out == expected
+
+
+# ---------------------------------------------------------------------------
+# contamination semantics on a crafted corpus
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_counts_crafted(spark, tmp_path):
+    """doc 0 (bench, doc_id%7==0) shares its 8-gram window with doc 8
+    (shifted copy) and not with doc 9; counts are distinct-gram hits."""
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8"  # 9 words → two 8-grams
+    rows = [
+        (0, base, "en", "s", len(base)),
+        (8, "zz " + base, "en", "s", len(base) + 3),  # shares both 8-grams
+        (9, "q0 q1 q2 q3 q4 q5 q6 q7", "en", "s", 20),  # disjoint
+        (10, "short doc", "en", "s", 9),  # < 8 words → zero grams
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = str(tmp_path / "documents.parquet")
+    df.write.parquet(d)
+    out = {
+        r["doc_id"]: (r["n_contaminated_grams"], r["contaminated"])
+        for r in q_contamination_ngrams(spark, str(tmp_path)).collect()
+    }
+    assert out[8] == (2, True)
+    assert out[9] == (0, False)
+    assert out[10] == (0, False)
+    assert 0 not in out  # benchmark docs are not scored

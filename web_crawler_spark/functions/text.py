@@ -83,6 +83,61 @@ def subword_count_col(text: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# word-level stats: Gopher-style quality filters / contamination grams
+# (task brief §extras: training-data quality filtering at 100 TB). All
+# native Catalyst — per-row list expressions, no UDF, no shuffle.
+# ---------------------------------------------------------------------------
+
+
+def words_col(text: Column) -> Column:
+    """Single-space word split (documents.text is space-joined word
+    soup). Mirrors DuckDB ``string_split(text, ' ')`` — NOT the regex
+    split used by `token_count_col`, so empty-string parity on repeated
+    separators is preserved between engines."""
+    return F.split(text, " ")
+
+
+def word_ngrams_col(words: Column, n: int) -> Column:
+    """Word n-gram windows as space-joined strings; empty array when the
+    doc has < n words. 1-based windows in both engines — DuckDB mirror:
+    ``list_transform(range(1, len(words) - n + 2),
+    i -> array_to_string(words[i:i+n-1], ' '))``."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast(ArrayType(StringType()))
+    )
+
+
+# Gopher-style stopword set restricted to this corpus's vocabulary so
+# the filter has signal on the synthetic word soup (the fuller
+# stopword regex lives in `stopword_hits_col`).
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — native regexp_replace chain (RE2-safe patterns: no
+# backreferences or lookarounds, so Java regex ≡ DuckDB RE2 on these)
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
+
+
+def pii_scrub_col(text: Column) -> Column:
+    """Redact email → IPv4 → phone, in that fixed order (email first:
+    its local/domain parts contain dots and digits that the later
+    patterns must not see). Replacement is a typed placeholder so
+    downstream token statistics stay stable."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+
+
+# ---------------------------------------------------------------------------
 # language ID — vectorized heuristic UDF (no SQL equivalent → rows-only check)
 # ---------------------------------------------------------------------------
 

@@ -27,14 +27,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from web_crawler_spark.functions.text import (
+    GOPHER_STOPWORDS,
+    PII_EMAIL_RE,
+    PII_IPV4_RE,
+    PII_PHONE_RE,
     alpha_ratio_col,
     language_id_udf,
+    pii_scrub_col,
     quality_band_col,
     quality_score_col,
     rolling_fingerprint_udf,
     stopword_hits_col,
     subword_count_col,
     token_count_col,
+    word_ngrams_col,
+    words_col,
 )
 from web_crawler_spark.operators.dedup import (
     exact_dedup_groups,
@@ -2395,6 +2402,226 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# training-data curation extras (r5): Gopher-style quality filter, PII
+# scrub, benchmark-contamination check (task brief §extras). All three
+# are driver-oracled; the filter is a pure per-row projection (zero
+# shuffle at any scale), the contamination check is the one shape that
+# genuinely joins — on a 16-hex-char gram key with the benchmark side
+# broadcast (real benchmark suites are small and fixed).
+# ---------------------------------------------------------------------------
+
+
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document quality filter (Rae et al. 2021 §A1.1
+    adapted to this corpus's word-soup text): word count bounds, mean
+    word length, stopword fraction, duplicate-bigram and
+    duplicate-5-gram fractions, and the combined keep flag. All ratios are emitted as
+    integer basis points / centi-chars via bigint floor division so the
+    DuckDB mirror is bit-exact (no float rounding seam). Per-row list
+    expressions only — the plan is scan → project, no exchange, at any
+    corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    g2 = word_ngrams_col(w, 2)
+    g5 = word_ngrams_col(w, 5)
+    base = d.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.aggregate(
+            F.transform(w, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+        ).alias("_chars"),
+        F.size(F.filter(w, lambda x: x.isin(*GOPHER_STOPWORDS))).alias("_stop"),
+        F.size(g2).alias("_g2"),
+        F.size(F.array_distinct(g2)).alias("_g2u"),
+        F.size(g5).alias("_g5"),
+        F.size(F.array_distinct(g5)).alias("_g5u"),
+    )
+    scored = base.select(
+        "doc_id",
+        "n_words",
+        F.expr("(_chars * 100) div n_words").alias("mean_wlen_c"),
+        F.expr("(_stop * 10000) div n_words").alias("stop_bp"),
+        F.expr(
+            "CASE WHEN _g2 > 0 THEN ((_g2 - _g2u) * 10000) div _g2 ELSE 0 END"
+        ).alias("dup_2gram_bp"),
+        F.expr(
+            "CASE WHEN _g5 > 0 THEN ((_g5 - _g5u) * 10000) div _g5 ELSE 0 END"
+        ).alias("dup_5gram_bp"),
+    )
+    return scored.withColumn(
+        "keep",
+        F.col("n_words").between(30, 120)
+        & (F.col("stop_bp") >= 500)
+        & (F.col("dup_2gram_bp") <= 800)
+        & F.col("mean_wlen_c").between(300, 700),
+    )
+
+
+ORACLE_QUALITY_GOPHER = r"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), s AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         list_sum(list_transform(words, x -> len(x))) AS chars,
+         len(list_filter(words, x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS stop,
+         CASE WHEN len(words) >= 2
+              THEN list_transform(range(1, len(words)),
+                                  i -> array_to_string(words[i:i+1], ' '))
+              ELSE [] END AS g2,
+         CASE WHEN len(words) >= 5
+              THEN list_transform(range(1, len(words) - 3),
+                                  i -> array_to_string(words[i:i+4], ' '))
+              ELSE [] END AS g5
+  FROM w
+), r AS (
+  SELECT doc_id, n_words,
+         ((chars * 100) // n_words)::BIGINT AS mean_wlen_c,
+         ((stop * 10000) // n_words)::BIGINT AS stop_bp,
+         (CASE WHEN len(g2) > 0
+               THEN ((len(g2) - len(list_distinct(g2))) * 10000) // len(g2)
+               ELSE 0 END)::BIGINT AS dup_2gram_bp,
+         (CASE WHEN len(g5) > 0
+               THEN ((len(g5) - len(list_distinct(g5))) * 10000) // len(g5)
+               ELSE 0 END)::BIGINT AS dup_5gram_bp
+  FROM s
+)
+SELECT doc_id, n_words, mean_wlen_c, stop_bp, dup_2gram_bp, dup_5gram_bp,
+       (n_words BETWEEN 30 AND 120 AND stop_bp >= 500
+        AND dup_2gram_bp <= 800
+        AND mean_wlen_c BETWEEN 300 AND 700) AS keep
+FROM r
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents: per-type match counts on the
+    original text plus the md5 of the scrubbed text (email → IPv4 →
+    phone replacement chain, `functions/text.pii_scrub_col`). The
+    corpus text itself carries no PII, so a deterministic contact
+    suffix derived from (doc_id, source) is appended identically in
+    both engines — the oracle proves the regex chain, ordering, and
+    replace-all semantics match RE2 exactly. Per-row projection, zero
+    shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    full = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".example.com from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    base = d.select("doc_id", full.alias("_full"))
+    return base.select(
+        "doc_id",
+        F.regexp_count("_full", F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("_full", F.lit(PII_IPV4_RE)).alias("n_ips"),
+        F.regexp_count("_full", F.lit(PII_PHONE_RE)).alias("n_phones"),
+        F.md5(pii_scrub_col(F.col("_full"))).alias("scrub_md5"),
+    )
+
+
+ORACLE_PII_SCRUB = r"""
+WITH f AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@' || source
+              || '.example.com from 10.' || (doc_id % 256)::VARCHAR
+              || '.0.' || (doc_id % 100)::VARCHAR
+              || ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+           AS full_t
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(full_t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+  len(regexp_extract_all(full_t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+  len(regexp_extract_all(full_t, '\+\d{1,2}-\d{3}-\d{4}')) AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(full_t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      '\+\d{1,2}-\d{3}-\d{4}', '<PHONE>', 'g')) AS scrub_md5
+FROM f
+"""
+
+
+CONTAMINATION_BENCH_MOD = 7  # doc_id % MOD == 0 plays the held-out benchmark
+
+
+def q_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check (the n-gram overlap test used
+    before training-data release): every corpus doc is scored by how
+    many of its distinct word-8-grams appear anywhere in the held-out
+    benchmark slice (doc_id % 7 == 0 plays the benchmark). Grams are
+    keyed by a 16-hex-char md5 prefix so the exchange ships 16-byte
+    keys, never gram strings; the benchmark key set is broadcast —
+    real benchmark suites are a few thousand docs regardless of corpus
+    size, so the corpus side joins map-side with zero shuffle of the
+    100 TB side (the groupBy on doc_id shuffles only hit rows)."""
+    d = _t(spark, sf_dir, "documents")
+    w = words_col(F.col("text"))
+    gkeys = F.array_distinct(
+        F.transform(
+            word_ngrams_col(w, 8), lambda g: F.substring(F.md5(g), 1, 16)
+        )
+    )
+    keyed = d.select("doc_id", gkeys.alias("gkeys"))
+    bench = (
+        keyed.filter(F.col("doc_id") % CONTAMINATION_BENCH_MOD == 0)
+        .select(F.explode("gkeys").alias("gkey"))
+        .distinct()
+    )
+    corpus = keyed.filter(F.col("doc_id") % CONTAMINATION_BENCH_MOD != 0)
+    hits = (
+        corpus.select("doc_id", F.explode("gkeys").alias("gkey"))
+        .join(F.broadcast(bench), "gkey")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))  # gkeys pre-distinct per doc
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_contaminated_grams"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+ORACLE_CONTAMINATION = r"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           CASE WHEN len(words) >= 8
+                THEN list_transform(range(1, len(words) - 6),
+                                    i -> array_to_string(words[i:i+7], ' '))
+                ELSE [] END,
+           x -> substr(md5(x), 1, 16))) AS gkeys
+  FROM w
+), bench AS (
+  SELECT DISTINCT unnest(gkeys) AS gkey FROM g WHERE doc_id % 7 = 0
+), corpus AS (
+  SELECT doc_id, gkeys FROM g WHERE doc_id % 7 <> 0
+), cg AS (
+  SELECT doc_id, unnest(gkeys) AS gkey FROM corpus
+), hits AS (
+  SELECT doc_id, count(*) AS n FROM cg JOIN bench USING (gkey) GROUP BY doc_id
+)
+SELECT c.doc_id,
+       coalesce(h.n, 0)::BIGINT AS n_contaminated_grams,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2422,6 +2649,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_clusters": q_dedup_clusters,
     "text_quality": q_text_quality,
+    "quality_gopher": q_quality_gopher,
+    "pii_scrub": q_pii_scrub,
+    "contamination_ngrams": q_contamination_ngrams,
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
     "dataset_split": q_dataset_split,
@@ -2478,6 +2708,9 @@ ORACLES: dict[str, str] = {
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "text_quality": ORACLE_TEXT_QUALITY,
+    "quality_gopher": ORACLE_QUALITY_GOPHER,
+    "pii_scrub": ORACLE_PII_SCRUB,
+    "contamination_ngrams": ORACLE_CONTAMINATION,
     "ann_brute_force_topk": ORACLE_ANN,
     "compare_observations": ORACLE_COMPARE,
     "w1_error_sessions": ORACLE_W1,
