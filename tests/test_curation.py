@@ -12,6 +12,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from web_crawler_spark.functions.text import (
+    GOPHER_STOPWORDS,
+    gopher_stats_udf,
+    make_gram_key_udf,
     pii_scrub_col,
     word_ngrams_col,
     words_col,
@@ -66,6 +69,60 @@ def test_word_ngrams_windows_and_short_doc(spark):
     got = [r["g"] for r in df.collect()]
     assert got[0] == ["a b c", "b c d"]
     assert got[1] == [] and got[2] == []
+
+
+# ---------------------------------------------------------------------------
+# vectorized kernels ≡ native column formulation (the UDFs exist purely
+# for speed — Catalyst interprets higher-order lambdas; semantics must
+# be indistinguishable from the declarative version)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_stats_udf_matches_native(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    w = words_col(F.col("text"))
+    g2, g5 = word_ngrams_col(w, 2), word_ngrams_col(w, 5)
+    native = docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.aggregate(
+            F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        ).cast("long").alias("chars"),
+        F.size(F.filter(w, lambda x: x.isin(*GOPHER_STOPWORDS))).cast("long").alias("n_stop"),
+        F.size(g2).cast("long").alias("g2"),
+        F.size(F.array_distinct(g2)).cast("long").alias("g2u"),
+        F.size(g5).cast("long").alias("g5"),
+        F.size(F.array_distinct(g5)).cast("long").alias("g5u"),
+    )
+    stats = gopher_stats_udf()
+    vec = docs.select("doc_id", stats(F.col("text")).alias("s")).select(
+        "doc_id",
+        F.col("s.n_words").cast("long").alias("n_words"),
+        "s.chars", "s.n_stop", "s.g2", "s.g2u", "s.g5", "s.g5u",
+    )
+    got_n = {r["doc_id"]: r.asDict() for r in native.collect()}
+    got_v = {r["doc_id"]: r.asDict() for r in vec.collect()}
+    assert got_n == got_v
+
+
+def test_gram_key_udf_matches_native(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(200)
+    native = docs.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    word_ngrams_col(words_col(F.col("text")), 8),
+                    lambda g: F.substring(F.md5(g), 1, 16),
+                )
+            )
+        ).alias("k"),
+    )
+    keys = make_gram_key_udf(n=8, prefix=16)
+    vec = docs.select("doc_id", F.array_sort(keys(F.col("text"))).alias("k"))
+    got_n = {r["doc_id"]: r["k"] for r in native.collect()}
+    got_v = {r["doc_id"]: r["k"] for r in vec.collect()}
+    assert got_n == got_v
 
 
 # ---------------------------------------------------------------------------

@@ -115,6 +115,68 @@ def word_ngrams_col(words: Column, n: int) -> Column:
 # the filter has signal on the synthetic word soup (the fuller
 # stopword regex lives in `stopword_hits_col`).
 GOPHER_STOPWORDS = ("the", "a", "of", "to", "and")
+_GOPHER_SET = frozenset(GOPHER_STOPWORDS)
+
+
+def gopher_stats_udf():
+    """Arrow-vectorized word/stopword/dup-n-gram statistics — one pass
+    per document, one struct row out. Semantics are EXACTLY the native
+    column formulation (`words_col`/`word_ngrams_col` + array_distinct;
+    parity pinned in tests/test_curation.py): Python ``str.split(' ')``
+    ≡ Spark ``split(text, ' ')`` ≡ DuckDB ``string_split`` including
+    empty-string tokens on repeated separators. A UDF rather than
+    native expressions because Catalyst evaluates higher-order lambdas
+    (transform + slice + concat_ws per window) interpreted, ~30× slower
+    per row than this single vectorized pass — measured at bench scale,
+    BENCH.md §3d."""
+
+    @F.pandas_udf(
+        "n_words long, chars long, n_stop long, "
+        "g2 long, g2u long, g5 long, g5u long"
+    )
+    def _stats(text: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in text:
+            words = (t if isinstance(t, str) else "").split(" ")
+            n = len(words)
+            chars = sum(map(len, words))
+            stop = sum(1 for w in words if w in _GOPHER_SET)
+            g2 = [" ".join(words[i : i + 2]) for i in range(n - 1)]
+            g5 = [" ".join(words[i : i + 5]) for i in range(n - 4)]
+            rows.append(
+                (n, chars, stop, len(g2), len(set(g2)), len(g5), len(set(g5)))
+            )
+        return pd.DataFrame(
+            rows, columns=["n_words", "chars", "n_stop", "g2", "g2u", "g5", "g5u"]
+        )
+
+    return _stats
+
+
+def make_gram_key_udf(n: int = 8, prefix: int = 16):
+    """Distinct word-n-gram md5-prefix keys per document, vectorized.
+    Key ≡ ``substr(md5(gram), 1, prefix)`` on the exact gram string, so
+    the DuckDB mirror recomputes it with its own md5 — element order of
+    the returned array is unspecified (consumers explode + distinct)."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _keys(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            words = (t if isinstance(t, str) else "").split(" ")
+            if len(words) < n:
+                out.append([])
+                continue
+            seen = {
+                hashlib.md5(
+                    " ".join(words[i : i + n]).encode("utf-8")
+                ).hexdigest()[:prefix]
+                for i in range(len(words) - n + 1)
+            }
+            out.append(sorted(seen))
+        return pd.Series(out)
+
+    return _keys
 
 
 # ---------------------------------------------------------------------------

@@ -27,12 +27,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from web_crawler_spark.functions.text import (
-    GOPHER_STOPWORDS,
     PII_EMAIL_RE,
     PII_IPV4_RE,
     PII_PHONE_RE,
     alpha_ratio_col,
+    gopher_stats_udf,
     language_id_udf,
+    make_gram_key_udf,
     pii_scrub_col,
     quality_band_col,
     quality_score_col,
@@ -40,8 +41,6 @@ from web_crawler_spark.functions.text import (
     stopword_hits_col,
     subword_count_col,
     token_count_col,
-    word_ngrams_col,
-    words_col,
 )
 from web_crawler_spark.operators.dedup import (
     exact_dedup_groups,
@@ -2417,24 +2416,22 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     word length, stopword fraction, duplicate-bigram and
     duplicate-5-gram fractions, and the combined keep flag. All ratios are emitted as
     integer basis points / centi-chars via bigint floor division so the
-    DuckDB mirror is bit-exact (no float rounding seam). Per-row list
-    expressions only — the plan is scan → project, no exchange, at any
-    corpus size."""
+    DuckDB mirror is bit-exact (no float rounding seam). One Arrow UDF
+    pass per row (`gopher_stats_udf` — Catalyst higher-order lambdas
+    are interpreted and measured ~30× slower here) then native integer
+    arithmetic; the plan is scan → project, no exchange, at any corpus
+    size."""
     d = _t(spark, sf_dir, "documents")
-    w = words_col(F.col("text"))
-    g2 = word_ngrams_col(w, 2)
-    g5 = word_ngrams_col(w, 5)
-    base = d.select(
+    stats = gopher_stats_udf()
+    base = d.select("doc_id", stats(F.col("text")).alias("_s")).select(
         "doc_id",
-        F.size(w).alias("n_words"),
-        F.aggregate(
-            F.transform(w, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
-        ).alias("_chars"),
-        F.size(F.filter(w, lambda x: x.isin(*GOPHER_STOPWORDS))).alias("_stop"),
-        F.size(g2).alias("_g2"),
-        F.size(F.array_distinct(g2)).alias("_g2u"),
-        F.size(g5).alias("_g5"),
-        F.size(F.array_distinct(g5)).alias("_g5u"),
+        F.col("_s.n_words").alias("n_words"),
+        F.col("_s.chars").alias("_chars"),
+        F.col("_s.n_stop").alias("_stop"),
+        F.col("_s.g2").alias("_g2"),
+        F.col("_s.g2u").alias("_g2u"),
+        F.col("_s.g5").alias("_g5"),
+        F.col("_s.g5u").alias("_g5u"),
     )
     scored = base.select(
         "doc_id",
@@ -2561,15 +2558,19 @@ def q_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys, never gram strings; the benchmark key set is broadcast —
     real benchmark suites are a few thousand docs regardless of corpus
     size, so the corpus side joins map-side with zero shuffle of the
-    100 TB side (the groupBy on doc_id shuffles only hit rows)."""
+    100 TB side (the groupBy on doc_id shuffles only hit rows). Gram
+    keys come from one Arrow UDF pass (`make_gram_key_udf` ≡ the
+    native substr(md5(gram),1,16) formulation, parity-pinned in
+    tests/test_curation.py — the interpreted transform+slice lambda
+    chain measured ~30× slower)."""
+    from web_crawler_spark.operators.barrier import barrier, release_on_gc
+
     d = _t(spark, sf_dir, "documents")
-    w = words_col(F.col("text"))
-    gkeys = F.array_distinct(
-        F.transform(
-            word_ngrams_col(w, 8), lambda g: F.substring(F.md5(g), 1, 16)
-        )
-    )
-    keyed = d.select("doc_id", gkeys.alias("gkeys"))
+    gram_keys = make_gram_key_udf(n=8, prefix=16)
+    # three consumers read the gram-key frame (benchmark keys, corpus
+    # gram explode, left-join base) — barrier it so the UDF pass runs
+    # once, not per consumer (gc_persist semantics, operators/barrier.py)
+    keyed = barrier(d.select("doc_id", gram_keys(F.col("text")).alias("gkeys")))
     bench = (
         keyed.filter(F.col("doc_id") % CONTAMINATION_BENCH_MOD == 0)
         .select(F.explode("gkeys").alias("gkey"))
@@ -2582,7 +2583,7 @@ def q_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))  # gkeys pre-distinct per doc
     )
-    return (
+    out = (
         corpus.select("doc_id")
         .join(hits, "doc_id", "left")
         .select(
@@ -2591,6 +2592,7 @@ def q_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+    return release_on_gc(out, keyed)
 
 
 ORACLE_CONTAMINATION = r"""
