@@ -179,6 +179,82 @@ def run_minhash(spark: SparkSession) -> tuple[int, float]:
     return n, time.time() - t0
 
 
+def run_curation(spark: SparkSession) -> tuple[int, float]:
+    """The r5 curation tier end-to-end at corpus scale, same shapes as
+    the registered queries (quality_gopher / pii_scrub /
+    contamination_ngrams) over the Zipf-vocabulary minhash corpus:
+    (a) Gopher-stats projection, (b) PII scrub + md5 projection, (c)
+    contamination gram join against a fixed-ratio benchmark slice
+    (doc_id % 199 == 0, ~0.5% — a realistic benchmark:corpus ratio
+    whose 16-hex key set stays broadcastable as the corpus grows; the
+    registered query's mod-7 slice is a fixture-scale choice)."""
+    from web_crawler_spark.functions.text import (
+        gopher_stats_udf,
+        make_gram_key_udf,
+        pii_scrub_col,
+    )
+
+    docs = spark.read.parquet(f"{MINHASH_DIR}/documents")
+    n = docs.count()
+    t0 = time.time()
+    # quality stats + PII scrub fused into ONE projection pass (a
+    # production curation pipeline emits both columns from one scan;
+    # the registered queries keep them separate only because each is
+    # oracled independently)
+    stats = gopher_stats_udf()
+    full = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@src"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example.com from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    base = docs.select(
+        "doc_id",
+        stats(F.col("text")).alias("s"),
+        F.md5(pii_scrub_col(full)).alias("scrub_md5"),
+    )
+    base.select(
+        "doc_id",
+        F.col("s.n_words").alias("n_words"),
+        F.expr("(s.chars * 100) div s.n_words").alias("mean_wlen_c"),
+        F.expr("(s.n_stop * 10000) div s.n_words").alias("stop_bp"),
+        F.expr(
+            "CASE WHEN s.g2 > 0 THEN ((s.g2 - s.g2u) * 10000) div s.g2"
+            " ELSE 0 END"
+        ).alias("dup_2gram_bp"),
+        "scrub_md5",
+    ).write.format("noop").mode("overwrite").save()
+    keys = make_gram_key_udf(n=8, prefix=16)
+    # disjoint-slice shape (same as the registered query): gram UDF on
+    # the small benchmark slice, gram UDF on the corpus slice feeding
+    # the broadcast join directly, plain doc_id scan as the left base —
+    # no multi-consumer frame, no persist barrier
+    bench = (
+        docs.filter(F.col("doc_id") % 199 == 0)
+        .select(F.explode(keys(F.col("text"))).alias("gkey"))
+        .distinct()
+    )
+    corpus_grams = docs.filter(F.col("doc_id") % 199 != 0).select(
+        "doc_id", F.explode(keys(F.col("text"))).alias("gkey")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench), "gkey")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    docs.filter(F.col("doc_id") % 199 != 0).select("doc_id").join(
+        hits, "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("n_hits", F.lit(0)).alias("n_contaminated_grams")
+    ).write.format("noop").mode("overwrite").save()
+    return n, time.time() - t0
+
+
 def prepare_ann_input(n_vecs: int, dim: int = 64, n_queries: int = 512) -> None:
     """Deterministic synthetic embedding corpus for the ANN-LSH scaling
     job: 4096 latent clusters, vec = 0.8·centroid + 0.6·noise, so
@@ -379,7 +455,7 @@ def _warmup(spark: SparkSession, job: str = "crawl") -> None:
     spark.range(0, 100_000, 1, 64).select(
         F.sum(_noop(F.col("id")))
     ).collect()
-    if job == "minhash":
+    if job in ("minhash", "curation"):
         spark.read.parquet(f"{MINHASH_DIR}/documents").select(
             F.sum(F.length("text"))
         ).collect()
@@ -424,7 +500,7 @@ def run_single(cores: int, trials: int = 1, job: str = "crawl") -> dict:
     _warmup(spark, job)
     ctrl = min(hw_control(spark, job) for _ in range(3))
     run_job = {"crawl": run_round, "minhash": run_minhash,
-               "ann": run_ann}[job]
+               "ann": run_ann, "curation": run_curation}[job]
     best = None
     steal = 0.0
     for _ in range(trials):
@@ -462,8 +538,10 @@ def main() -> None:
     # document corpus — same pair-ratio protocol
     # "ann" = the similarity-search tier (hyperplane LSH top-k) over a
     # clustered synthetic embedding corpus — same pair-ratio protocol
+    # "curation" = the r5 quality/PII/contamination tier end-to-end
+    # over the same Zipf-vocabulary corpus — same pair-ratio protocol
     ap.add_argument("--job", type=str, default="crawl",
-                    choices=("crawl", "minhash", "ann"))
+                    choices=("crawl", "minhash", "ann", "curation"))
     ap.add_argument("--docs", type=int, default=120_000)
     # interleave level trials (4,16,4,16,...) so host-load epochs on the
     # shared VM hit both levels equally; per-level min is reported
@@ -484,7 +562,7 @@ def main() -> None:
         )
         return
 
-    if args.job == "minhash":
+    if args.job in ("minhash", "curation"):
         prepare_minhash_input(args.docs)
     elif args.job == "ann":
         prepare_ann_input(args.docs)
@@ -532,6 +610,7 @@ def main() -> None:
             "crawl": "crawl_round_urls_per_sec",
             "minhash": "minhash_lsh_docs_per_sec",
             "ann": "ann_lsh_vecs_per_sec",
+            "curation": "curation_docs_per_sec",
         }[args.job],
         "levels": results,
         "samples_sec": {c: [r["sec"] for r in samples[c]] for c in levels},

@@ -2559,32 +2559,35 @@ def q_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     real benchmark suites are a few thousand docs regardless of corpus
     size, so the corpus side joins map-side with zero shuffle of the
     100 TB side (the groupBy on doc_id shuffles only hit rows). Gram
-    keys come from one Arrow UDF pass (`make_gram_key_udf` ≡ the
-    native substr(md5(gram),1,16) formulation, parity-pinned in
+    keys come from `make_gram_key_udf` (Arrow UDF ≡ the native
+    substr(md5(gram),1,16) formulation, parity-pinned in
     tests/test_curation.py — the interpreted transform+slice lambda
     chain measured ~30× slower)."""
-    from web_crawler_spark.operators.barrier import barrier, release_on_gc
-
     d = _t(spark, sf_dir, "documents")
     gram_keys = make_gram_key_udf(n=8, prefix=16)
-    # three consumers read the gram-key frame (benchmark keys, corpus
-    # gram explode, left-join base) — barrier it so the UDF pass runs
-    # once, not per consumer (gc_persist semantics, operators/barrier.py)
-    keyed = barrier(d.select("doc_id", gram_keys(F.col("text")).alias("gkeys")))
+    # the gram UDF runs on two DISJOINT slices — once over the small
+    # benchmark docs, once over the corpus docs feeding the broadcast
+    # join directly — and the left-join base is a plain doc_id scan, so
+    # no frame has multiple consumers and nothing needs a persist
+    # barrier (an earlier shape barriered one shared gram frame; the
+    # cache write/read of the wide key arrays was pure memory-bandwidth
+    # cost at scale)
     bench = (
-        keyed.filter(F.col("doc_id") % CONTAMINATION_BENCH_MOD == 0)
-        .select(F.explode("gkeys").alias("gkey"))
+        d.filter(F.col("doc_id") % CONTAMINATION_BENCH_MOD == 0)
+        .select(F.explode(gram_keys(F.col("text"))).alias("gkey"))
         .distinct()
     )
-    corpus = keyed.filter(F.col("doc_id") % CONTAMINATION_BENCH_MOD != 0)
+    corpus_grams = d.filter(
+        F.col("doc_id") % CONTAMINATION_BENCH_MOD != 0
+    ).select("doc_id", F.explode(gram_keys(F.col("text"))).alias("gkey"))
     hits = (
-        corpus.select("doc_id", F.explode("gkeys").alias("gkey"))
-        .join(F.broadcast(bench), "gkey")
+        corpus_grams.join(F.broadcast(bench), "gkey")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))  # gkeys pre-distinct per doc
+        .agg(F.count("*").alias("n_hits"))  # keys pre-distinct per doc
     )
-    out = (
-        corpus.select("doc_id")
+    return (
+        d.filter(F.col("doc_id") % CONTAMINATION_BENCH_MOD != 0)
+        .select("doc_id")
         .join(hits, "doc_id", "left")
         .select(
             "doc_id",
@@ -2592,7 +2595,6 @@ def q_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
-    return release_on_gc(out, keyed)
 
 
 ORACLE_CONTAMINATION = r"""
