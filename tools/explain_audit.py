@@ -84,6 +84,15 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["HashAggregate"],
         ["BatchEvalPython", "ArrowEvalPython"],
     ),
+    # curation tier (r5): Arrow-vectorized kernels, no row-eval, no
+    # exchange on the per-row shapes; contamination broadcasts the
+    # benchmark key set
+    "quality_gopher": (["ArrowEvalPython"], ["BatchEvalPython", "Exchange"]),
+    "pii_scrub": ([], ["BatchEvalPython", "ArrowEvalPython", "Exchange"]),
+    "contamination_ngrams": (
+        ["ArrowEvalPython", "BroadcastHashJoin"],
+        ["BatchEvalPython"],
+    ),
 }
 
 
