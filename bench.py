@@ -42,6 +42,7 @@ HEADLINE = [
     "pii_scrub",
     "contamination_ngrams",
     "dataset_split",
+    "dataset_pack",
     "ann_brute_force_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

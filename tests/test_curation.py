@@ -21,6 +21,7 @@ from web_crawler_spark.functions.text import (
 )
 from web_crawler_spark.queries import (
     q_contamination_ngrams,
+    q_dataset_pack,
     q_pii_scrub,
     q_quality_gopher,
 )
@@ -156,6 +157,43 @@ def test_pii_scrub_cases(spark, raw, expected):
         .head()["s"]
     )
     assert out == expected
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_dataset_pack_single_exchange(spark):
+    """Packing is one shuffle on the shard key + a shard-local window;
+    any second exchange would mean a global sort leaked in."""
+    plan = q_dataset_pack(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
+
+
+def test_dataset_pack_block_geometry(spark, tmp_path):
+    """Crafted shard: 300+300+20 tokens at block=512 → doc 8 spans
+    blocks 0-1, doc 16 sits inside block 1; offsets are cumulative in
+    doc_id order."""
+    rows = [
+        (0, " ".join(["w"] * 300), "en", "s", 0),
+        (8, " ".join(["w"] * 300), "en", "s", 0),   # same shard (mod 8)
+        (16, " ".join(["w"] * 20), "en", "s", 0),
+        (3, " ".join(["w"] * 700), "en", "s", 0),   # another shard
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (
+            r["start_offset"], r["block_first"], r["block_last"], r["n_blocks"]
+        )
+        for r in q_dataset_pack(spark, str(tmp_path)).collect()
+    }
+    assert got[0] == (0, 0, 0, 1)
+    assert got[8] == (300, 0, 1, 2)       # crosses the 512 boundary
+    assert got[16] == (600, 1, 1, 1)
+    assert got[3] == (0, 0, 1, 2)         # 700 tokens spans two blocks
 
 
 # ---------------------------------------------------------------------------

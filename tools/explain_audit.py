@@ -93,6 +93,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["ArrowEvalPython", "BroadcastHashJoin"],
         ["BatchEvalPython"],
     ),
+    # packing: one exchange on the shard key, native window, no Python
+    "dataset_pack": (
+        ["Window"],
+        ["BatchEvalPython", "ArrowEvalPython", "rangepartitioning"],
+    ),
 }
 
 

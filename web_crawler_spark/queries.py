@@ -2546,6 +2546,63 @@ FROM f
 """
 
 
+PACK_BLOCK_TOKENS = 512  # tokens per packed training block (fixture scale)
+PACK_SHARDS = 8
+
+
+def q_dataset_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (concatenate-and-chunk): documents
+    are concatenated in deterministic (shard, doc_id) order and cut
+    into fixed token blocks; each doc reports its start offset and the
+    block range it lands in. One window cumsum per shard — the plan is
+    a single exchange on the shard key plus a shard-local sort, which
+    is exactly how distributed packing bounds memory at 100 TB: block
+    ids are shard-local, shards scale with the cluster, and no global
+    order is ever materialized. All outputs are bigints via floor
+    division, so the DuckDB mirror is bit-exact."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        token_count_col(F.col("text")).alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = base.withColumn("_cum", F.sum("n_tokens").over(w))
+    return cum.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.expr("CAST(_cum - n_tokens AS BIGINT)").alias("start_offset"),
+        F.expr(f"(_cum - n_tokens) div {PACK_BLOCK_TOKENS}").alias(
+            "block_first"
+        ),
+        F.expr(f"(_cum - 1) div {PACK_BLOCK_TOKENS}").alias("block_last"),
+        F.expr(
+            f"(_cum - 1) div {PACK_BLOCK_TOKENS}"
+            f" - (_cum - n_tokens) div {PACK_BLOCK_TOKENS} + 1"
+        ).alias("n_blocks"),
+    )
+
+
+ORACLE_DATASET_PACK = r"""
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+  FROM t
+)
+SELECT doc_id, shard, n_tokens,
+       (cum - n_tokens)::BIGINT AS start_offset,
+       ((cum - n_tokens) // 512)::BIGINT AS block_first,
+       ((cum - 1) // 512)::BIGINT AS block_last,
+       ((cum - 1) // 512 - (cum - n_tokens) // 512 + 1)::BIGINT AS n_blocks
+FROM c
+"""
+
+
 CONTAMINATION_BENCH_MOD = 7  # doc_id % MOD == 0 plays the held-out benchmark
 
 
@@ -2659,6 +2716,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id": q_lang_id,
     "fingerprints": q_fingerprints,
     "dataset_split": q_dataset_split,
+    "dataset_pack": q_dataset_pack,
     "ann_brute_force_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
@@ -2697,6 +2755,7 @@ ORACLES: dict[str, str] = {
     "lang_id": ORACLE_LANG_ID,
     "fingerprints": ORACLE_FINGERPRINTS,
     "dataset_split": ORACLE_DATASET_SPLIT,
+    "dataset_pack": ORACLE_DATASET_PACK,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
     "dedup_ngram_jaccard_allpairs": ORACLE_DEDUP_NGRAM,
