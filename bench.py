@@ -43,6 +43,7 @@ HEADLINE = [
     "contamination_ngrams",
     "dataset_split",
     "dataset_pack",
+    "domain_cap",
     "ann_brute_force_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -20,8 +20,10 @@ from web_crawler_spark.functions.text import (
     words_col,
 )
 from web_crawler_spark.queries import (
+    DOMAIN_CAP_K,
     q_contamination_ngrams,
     q_dataset_pack,
+    q_domain_cap,
     q_pii_scrub,
     q_quality_gopher,
 )
@@ -194,6 +196,29 @@ def test_dataset_pack_block_geometry(spark, tmp_path):
     assert got[8] == (300, 0, 1, 2)       # crosses the 512 boundary
     assert got[16] == (600, 1, 1, 1)
     assert got[3] == (0, 0, 1, 2)         # 700 tokens spans two blocks
+
+
+# ---------------------------------------------------------------------------
+# domain cap
+# ---------------------------------------------------------------------------
+
+
+def test_domain_cap_pushes_rank_limit_below_exchange(spark):
+    """The per-domain cap must compile to WindowGroupLimit (map-side
+    rank limit): only ≤K rows per domain reach the shuffle."""
+    plan = q_domain_cap(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_domain_cap_binds_and_is_deterministic(spark):
+    out = q_domain_cap(spark, SF)
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= DOMAIN_CAP_K for n in per.values())
+    assert max(per.values()) == DOMAIN_CAP_K  # the cap actually binds
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in q_domain_cap(spark, SF).collect())
+    assert a == b
 
 
 # ---------------------------------------------------------------------------

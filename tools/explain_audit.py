@@ -98,6 +98,11 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["Window"],
         ["BatchEvalPython", "ArrowEvalPython", "rangepartitioning"],
     ),
+    # domain cap: rank limit below the exchange, like the dequeue
+    "domain_cap": (
+        ["WindowGroupLimit"],
+        ["BatchEvalPython", "ArrowEvalPython"],
+    ),
 }
 
 

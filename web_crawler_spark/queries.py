@@ -2546,6 +2546,44 @@ FROM f
 """
 
 
+DOMAIN_CAP_K = 15  # max docs kept per source (fixture corpus has 25/source, so the cap binds)
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-balanced downsampling: keep at most K docs per source,
+    chosen by a content-keyed hash order (md5 of doc_id) rather than
+    ingestion order, so the survivors are an unbiased deterministic
+    sample of each over-represented domain. Compiles to
+    WindowGroupLimit like the frontier dequeue (rank limit applied
+    map-side below the exchange — only ≤K rows per group shuffle), so
+    capping a 100 TB corpus ships K rows per domain, not the domain."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).alias("rank_in_source"),
+        )
+        .filter(F.col("rank_in_source") <= DOMAIN_CAP_K)
+    )
+
+
+ORACLE_DOMAIN_CAP = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rank_in_source
+  FROM documents
+)
+SELECT doc_id, source, rank_in_source FROM r WHERE rank_in_source <= 15
+"""
+
+
 PACK_BLOCK_TOKENS = 512  # tokens per packed training block (fixture scale)
 PACK_SHARDS = 8
 
@@ -2717,6 +2755,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprints": q_fingerprints,
     "dataset_split": q_dataset_split,
     "dataset_pack": q_dataset_pack,
+    "domain_cap": q_domain_cap,
     "ann_brute_force_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh,
     "ann_ivf_topk": q_ann_ivf,
@@ -2756,6 +2795,7 @@ ORACLES: dict[str, str] = {
     "fingerprints": ORACLE_FINGERPRINTS,
     "dataset_split": ORACLE_DATASET_SPLIT,
     "dataset_pack": ORACLE_DATASET_PACK,
+    "domain_cap": ORACLE_DOMAIN_CAP,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM,
     "dedup_ngram_jaccard_allpairs": ORACLE_DEDUP_NGRAM,
