@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_embedding",
     "dedup_embedding_lsh",
     "dedup_clusters",
+    "dedup_incremental",
     "text_quality",
     "quality_gopher",
     "pii_scrub",

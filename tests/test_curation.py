@@ -199,8 +199,48 @@ def test_dataset_pack_block_geometry(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# domain cap
+# incremental dedup (batch vs index)
 # ---------------------------------------------------------------------------
+
+
+def test_dedup_incremental_broadcasts_batch_never_self_joins(spark):
+    """Both joins must broadcast the batch/candidate side; the corpus
+    side must never reach a sort-merge self-join."""
+    from web_crawler_spark.queries import q_dedup_incremental
+
+    plan = (
+        q_dedup_incremental(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_incremental_matches_two_sided_ground_truth(spark, tmp_path):
+    """Crafted corpus: batch doc 0 duplicates index doc 1 (J=1.0),
+    overlaps doc 2 partially, and is disjoint from doc 3; batch pairs
+    never pair with other batch docs."""
+    from web_crawler_spark.queries import q_dedup_incremental
+
+    t = "a b c d e f"
+    rows = [
+        (0, t, "en", "s", 0),                 # batch (mod 5)
+        (5, "x y z q r s", "en", "s", 0),     # batch, disjoint
+        (1, t, "en", "s", 0),                 # index, exact dup of 0
+        (2, "a b c d zz qq", "en", "s", 0),   # index, partial overlap
+        (3, "p q r s t u", "en", "s", 0),     # index, disjoint
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["id_new"], r["id_index"]): r["jaccard"]
+        for r in q_dedup_incremental(spark, str(tmp_path)).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 2)] == pytest.approx(3 / 7, abs=1e-4)  # {ab,bc,cd} / 7
+    assert (0, 3) not in got and (5, 0) not in got and (0, 5) not in got
 
 
 def test_domain_cap_pushes_rank_limit_below_exchange(spark):

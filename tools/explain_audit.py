@@ -103,6 +103,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["WindowGroupLimit"],
         ["BatchEvalPython", "ArrowEvalPython"],
     ),
+    # incremental dedup: batch side broadcast twice, corpus never
+    # sort-merge-joined, no Python
+    "dedup_incremental": (
+        ["BroadcastHashJoin"],
+        ["SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"],
+    ),
 }
 
 

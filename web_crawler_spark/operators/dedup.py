@@ -384,6 +384,61 @@ def _expand_ranges(starts, lengths):
     return np.cumsum(step)
 
 
+def ngram_jaccard_join(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Two-sided exact n-gram Jaccard join — the INCREMENTAL dedup
+    shape: a small new batch probed against a large indexed corpus.
+    Candidates come from a shared-gram equi-join with the BATCH side
+    broadcast (a crawl batch is small relative to the corpus at any
+    scale), so the corpus side is touched map-side only where grams
+    collide, and no corpus self-join ever forms; verification is one
+    more broadcast of the candidate set back onto the corpus grams.
+    Gram sets ride as xxhash64 longs like `ngram_jaccard_pairs`
+    (collision odds ~n²/2^65; the DuckDB oracle would surface one).
+    Output: (id_new, id_index, jaccard ≥ threshold)."""
+    bg = barrier(
+        _gram_arrays(batch, id_col, text_col, n).select(
+            "_id", F.transform("grams", lambda g: F.xxhash64(g)).alias("grams")
+        )
+    )
+    ig = barrier(
+        _gram_arrays(index, id_col, text_col, n).select(
+            "_id", F.transform("grams", lambda g: F.xxhash64(g)).alias("grams")
+        )
+    )
+    be = bg.select(F.col("_id").alias("id_new"), F.explode("grams").alias("g"))
+    ie = ig.select(F.col("_id").alias("id_index"), F.explode("grams").alias("g"))
+    cand = (
+        ie.join(F.broadcast(be), "g").select("id_new", "id_index").distinct()
+    )
+    with_b = cand.join(
+        bg.select(F.col("_id").alias("id_new"), F.col("grams").alias("gb")),
+        "id_new",
+    )
+    verified = (
+        ig.select(F.col("_id").alias("id_index"), F.col("grams").alias("gi"))
+        .join(F.broadcast(with_b), "id_index")
+        .withColumn("_ni", F.size(F.array_intersect("gb", "gi")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_ni")
+                / (F.size("gb") + F.size("gi") - F.col("_ni")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_new", "id_index", "jaccard")
+    )
+    return release_on_gc(verified, bg, ig)
+
+
 def ngram_jaccard_pairs_blocked(
     docs: DataFrame,
     id_col: str = "doc_id",

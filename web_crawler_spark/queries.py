@@ -2546,6 +2546,51 @@ FROM f
 """
 
 
+INCREMENTAL_BATCH_MOD = 5  # doc_id % MOD == 0 plays the new crawl batch
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the per-batch production pattern: dedupe a
+    NEW crawl batch (doc_id % 5 == 0) against the already-indexed
+    corpus (the rest) with exact word-bigram Jaccard, without ever
+    forming a corpus self-join (`operators/dedup.ngram_jaccard_join`:
+    batch grams broadcast, corpus probed map-side). At 100 TB the
+    index side is the big one; cost scales with the batch and the
+    gram-collision surface, not with corpus²."""
+    from web_crawler_spark.operators.dedup import ngram_jaccard_join
+
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD == 0)
+    index = d.filter(F.col("doc_id") % INCREMENTAL_BATCH_MOD != 0)
+    return ngram_jaccard_join(batch, index, "doc_id", "text", n=2, threshold=0.2)
+
+
+ORACLE_DEDUP_INCREMENTAL = r"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i+1])) AS grams
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+        FROM documents)
+), be AS (
+  SELECT doc_id, unnest(grams) AS gr FROM g WHERE doc_id % 5 = 0
+), ie AS (
+  SELECT doc_id, unnest(grams) AS gr FROM g WHERE doc_id % 5 <> 0
+), sizes AS (
+  SELECT doc_id, len(grams) AS n FROM g
+), inter AS (
+  SELECT b.doc_id AS id_new, i.doc_id AS id_index, count(*) AS ni
+  FROM be b JOIN ie i ON b.gr = i.gr
+  GROUP BY 1, 2
+)
+SELECT id_new, id_index, round(ni / (sb.n + si.n - ni), 4) AS jaccard
+FROM inter
+JOIN sizes sb ON inter.id_new = sb.doc_id
+JOIN sizes si ON inter.id_index = si.doc_id
+WHERE ni / (sb.n + si.n - ni) >= 0.2
+"""
+
+
 DOMAIN_CAP_K = 15  # max docs kept per source (fixture corpus has 25/source, so the cap binds)
 
 
@@ -2747,6 +2792,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": q_dedup_embedding,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_incremental": q_dedup_incremental,
     "text_quality": q_text_quality,
     "quality_gopher": q_quality_gopher,
     "pii_scrub": q_pii_scrub,
@@ -2810,6 +2856,7 @@ ORACLES: dict[str, str] = {
     "so5_rule_chain": ORACLE_SO5_RULES,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "text_quality": ORACLE_TEXT_QUALITY,
     "quality_gopher": ORACLE_QUALITY_GOPHER,
     "pii_scrub": ORACLE_PII_SCRUB,
