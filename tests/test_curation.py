@@ -203,19 +203,51 @@ def test_dataset_pack_block_geometry(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def test_dedup_incremental_broadcasts_batch_never_self_joins(spark):
-    """Both joins must broadcast the batch/candidate side; the corpus
-    side must never reach a sort-merge self-join."""
-    from web_crawler_spark.queries import q_dedup_incremental
+def test_dedup_incremental_scale_path_broadcasts_batch(spark):
+    """The scale-path operator must broadcast the batch/candidate side
+    in both joins; the corpus side must never reach a sort-merge
+    self-join."""
+    from pyspark.sql import functions as F
 
+    from web_crawler_spark.operators.dedup import ngram_jaccard_join
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
     plan = (
-        q_dedup_incremental(spark, SF)
+        ngram_jaccard_join(
+            d.filter(F.col("doc_id") % 5 == 0),
+            d.filter(F.col("doc_id") % 5 != 0),
+            "doc_id", "text", n=2, threshold=0.2,
+        )
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_dedup_incremental_plans_agree(spark):
+    """Scale path (broadcast gram join) ≡ fixture path (blocked tiles
+    + straddle filter) on the real corpus — same pairs, same jaccard."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.operators.dedup import ngram_jaccard_join
+    from web_crawler_spark.queries import q_dedup_incremental
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    scale = {
+        (r["id_new"], r["id_index"]): r["jaccard"]
+        for r in ngram_jaccard_join(
+            d.filter(F.col("doc_id") % 5 == 0),
+            d.filter(F.col("doc_id") % 5 != 0),
+            "doc_id", "text", n=2, threshold=0.2,
+        ).collect()
+    }
+    fixture = {
+        (r["id_new"], r["id_index"]): r["jaccard"]
+        for r in q_dedup_incremental(spark, SF).collect()
+    }
+    assert scale == fixture
 
 
 def test_dedup_incremental_matches_two_sided_ground_truth(spark, tmp_path):

@@ -103,11 +103,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["WindowGroupLimit"],
         ["BatchEvalPython", "ArrowEvalPython"],
     ),
-    # incremental dedup: batch side broadcast twice, corpus never
-    # sort-merge-joined, no Python
+    # incremental dedup (fixture regime → blocked tiles): grouped-map
+    # Arrow exec, never a row-eval or a corpus sort-merge self-join;
+    # the scale-path broadcast shape is asserted in test_curation.py
     "dedup_incremental": (
-        ["BroadcastHashJoin"],
-        ["SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"],
+        ["FlatMapGroupsInPandas"],
+        ["SortMergeJoin", "BatchEvalPython"],
     ),
 }
 
