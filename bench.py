@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_embedding_lsh",
     "dedup_clusters",
     "dedup_incremental",
+    "graph_pagerank",
     "text_quality",
     "quality_gopher",
     "pii_scrub",

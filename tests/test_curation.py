@@ -321,3 +321,45 @@ def test_contamination_counts_crafted(spark, tmp_path):
     assert out[9] == (0, False)
     assert out[10] == (0, False)
     assert 0 not in out  # benchmark docs are not scored
+
+
+# ---------------------------------------------------------------------------
+# pagerank (canonical selection over the similarity graph)
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_crafted_path_graph(spark, tmp_path):
+    """Path graph a-b-c (a,b share bigrams; b,c share; a,c don't):
+    expected ranks computed by the same integer recurrence in pure
+    Python — the operator must match exactly at every node."""
+    from web_crawler_spark.queries import q_graph_pagerank
+
+    rows = [
+        (1, "x y z a1 a2 a3", "en", "s", 0),
+        (2, "x y z b1 b2 b3", "en", "s", 0),
+        (3, "b1 b2 b3 c1 c2", "en", "s", 0),
+        (4, "q1 q2 q3 q4 q5", "en", "s", 0),  # isolated
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+
+    edges = {1: [2], 2: [1, 3], 3: [2], 4: []}
+    deg = {k: len(v) for k, v in edges.items()}
+    rank = {k: 1_000_000_000 for k in edges}
+    for _ in range(5):
+        nxt = {}
+        for n in edges:
+            s = sum(
+                (rank[u] * 85 // 100) // deg[u]
+                for u in edges
+                if n in edges[u]
+            )
+            nxt[n] = 150_000_000 + s
+        rank = nxt
+
+    got = {
+        r["doc_id"]: r["pagerank"]
+        for r in q_graph_pagerank(spark, str(tmp_path)).collect()
+    }
+    assert got == rank
+    assert got[4] == 150_000_000  # isolated node keeps only base mass

@@ -110,6 +110,9 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
         ["FlatMapGroupsInPandas"],
         ["SortMergeJoin", "BatchEvalPython"],
     ),
+    # pagerank: iterative plan truncated per round by localCheckpoint
+    # (visible plan = final LogicalRDD scan); assert no row-eval leaked
+    "graph_pagerank": ([], ["BatchEvalPython"]),
 }
 
 

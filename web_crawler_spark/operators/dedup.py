@@ -680,6 +680,57 @@ def ngram_jaccard_pairs_naive(
 # ---------------------------------------------------------------------------
 
 
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "node",
+    iters: int = 5,
+    scale: int = 1_000_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-point integer PageRank over an explicit edge list — used
+    as canonical-document selection on the near-dup similarity graph
+    (rank centrality picks the cluster representative) and identical
+    in shape to link-graph crawl prioritization.
+
+    All arithmetic is bigint floor division on a rank scaled by
+    ``scale`` (contribution = (rank · damping) div 100 div degree),
+    so the result is bit-deterministic under any partitioning and an
+    independent SQL engine reproduces it exactly — no float summation
+    order to disagree on. Per iteration: one join + one groupBy-sum,
+    both shuffling on node id (uniform keys); lineage truncated via
+    localCheckpoint like `dedup_clusters`. Dangling mass is dropped
+    (documented simplification, mirrored by the oracle)."""
+    base = scale * (100 - damping_pct) // 100
+    e = edges.select("src", "dst").persist()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    n = nodes.select(F.col(id_col).alias("node"))
+    ranks = n.withColumn("rank", F.lit(scale).cast("long")).localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(rank * {damping_pct} div 100) div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            n.join(contrib, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce("c", F.lit(0)))
+                .cast("long")
+                .alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return ranks
+
+
 def dedup_clusters(
     ids: DataFrame,
     pairs: DataFrame,

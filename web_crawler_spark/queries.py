@@ -2546,6 +2546,69 @@ FROM f
 """
 
 
+PAGERANK_ITERS = 5
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup similarity graph (edges =
+    exact bigram-Jaccard pairs ≥ 0.2, both directions) — the
+    canonical-selection pattern: the highest-rank doc in each dup
+    cluster is the representative to keep. Fixed-point bigint
+    arithmetic end to end (`operators/dedup.pagerank`), so the DuckDB
+    oracle — which recomputes the SAME edge set from the pair CTEs and
+    chains five iteration CTEs — matches bit-for-bit with no float
+    summation-order seam. Per iteration one join + one groupBy-sum on
+    node id; lineage checkpoint-truncated; scales like
+    `dedup_clusters`."""
+    from web_crawler_spark.operators.dedup import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_blocked(d, "doc_id", "text", n=2, threshold=0.2)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    ranks = pagerank(
+        d.select("doc_id"), edges, id_col="doc_id", iters=PAGERANK_ITERS
+    )
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.col("rank").alias("pagerank")
+    )
+
+
+def _pagerank_oracle_sql() -> str:
+    cte = (
+        "WITH "
+        + _NGRAM_PAIRS_CTES
+        + """,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT doc_id AS node FROM documents),
+r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes)"""
+    )
+    for i in range(1, PAGERANK_ITERS + 1):
+        cte += f""",
+r{i} AS (
+  SELECT n.node,
+         CAST(150000000 + coalesce(
+           sum((r.rank * 85 // 100) // d.deg), 0) AS BIGINT) AS rank
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN r{i - 1} r ON r.node = e.src
+  LEFT JOIN deg d ON d.src = e.src
+  GROUP BY n.node
+)"""
+    return (
+        cte
+        + f"\nSELECT node AS doc_id, rank AS pagerank FROM r{PAGERANK_ITERS}"
+    )
+
+
 INCREMENTAL_BATCH_MOD = 5  # doc_id % MOD == 0 plays the new crawl batch
 
 
@@ -2813,6 +2876,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_clusters": q_dedup_clusters,
     "dedup_incremental": q_dedup_incremental,
+    "graph_pagerank": q_graph_pagerank,
     "text_quality": q_text_quality,
     "quality_gopher": q_quality_gopher,
     "pii_scrub": q_pii_scrub,
@@ -2877,6 +2941,7 @@ ORACLES: dict[str, str] = {
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
+    "graph_pagerank": _pagerank_oracle_sql(),
     "text_quality": ORACLE_TEXT_QUALITY,
     "quality_gopher": ORACLE_QUALITY_GOPHER,
     "pii_scrub": ORACLE_PII_SCRUB,
