@@ -46,6 +46,7 @@ HEADLINE = [
     "dataset_split",
     "dataset_pack",
     "domain_cap",
+    "curation_pipeline",
     "ann_brute_force_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",

@@ -363,3 +363,44 @@ def test_pagerank_crafted_path_graph(spark, tmp_path):
     }
     assert got == rank
     assert got[4] == 150_000_000  # isolated node keeps only base mass
+
+
+# ---------------------------------------------------------------------------
+# full-pipeline composition
+# ---------------------------------------------------------------------------
+
+
+def test_curation_pipeline_three_shuffles_only(spark):
+    """The composed plan shuffles exactly three times — once per window
+    key (content_md5 dedup, source cap, (split, shard) pack); the
+    per-row quality/scrub/split stages fuse into the scan projection."""
+    from web_crawler_spark.queries import q_curation_pipeline
+
+    plan = (
+        q_curation_pipeline(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "rangepartitioning" not in plan
+
+
+def test_curation_pipeline_subset_of_stages(spark):
+    """Every pipeline survivor must be a quality keeper, within the
+    domain cap, and consistently packed (offsets cumulative per
+    (split, shard))."""
+    from web_crawler_spark.queries import q_curation_pipeline, q_quality_gopher
+
+    out = q_curation_pipeline(spark, SF).collect()
+    keep = {r["doc_id"] for r in q_quality_gopher(spark, SF).collect() if r["keep"]}
+    assert {r["doc_id"] for r in out} <= keep
+    per_source = {}
+    for r in out:
+        per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+    assert all(n <= 15 for n in per_source.values())
+    groups = {}
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        k = (r["split"], r["doc_id"] % 8)
+        assert r["start_offset"] == groups.get(k, 0)
+        groups[k] = r["start_offset"] + r["n_words"]

@@ -113,6 +113,12 @@ CHECKS: dict[str, tuple[list[str], list[str]]] = {
     # pagerank: iterative plan truncated per round by localCheckpoint
     # (visible plan = final LogicalRDD scan); assert no row-eval leaked
     "graph_pagerank": ([], ["BatchEvalPython"]),
+    # full pipeline composition: Arrow kernel + three window shuffles,
+    # no row-eval, no range partitioning
+    "curation_pipeline": (
+        ["ArrowEvalPython", "Window"],
+        ["BatchEvalPython", "rangepartitioning"],
+    ),
 }
 
 

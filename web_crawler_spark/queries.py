@@ -2546,6 +2546,133 @@ FROM f
 """
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation flow as ONE declarative plan — the user story
+    every individual query serves: quality filter (Gopher stats) →
+    exact dedup on content md5 (min-doc_id keeper) → domain cap
+    (hash-ordered top-K per source) → train/val/test split → sequence
+    packing (per-(split, shard) window cumsum). Catalyst sees a single
+    plan — the per-row stages fuse into the scan projection, and the
+    three window stages each shuffle once on their own key, which is
+    the minimum any engine needs for these semantics. The oracle
+    chains the proven per-stage CTEs, so the composition is verified
+    end-to-end, not just stage-wise."""
+    from web_crawler_spark.operators.sampling import train_val_test_split
+
+    d = _t(spark, sf_dir, "documents")
+    stats = gopher_stats_udf()
+    scored = d.select(
+        "doc_id", "source", "text", stats(F.col("text")).alias("_s")
+    ).select(
+        "doc_id",
+        "source",
+        "text",
+        F.col("_s.n_words").alias("n_words"),
+        F.expr("(_s.chars * 100) div _s.n_words").alias("_mwc"),
+        F.expr("(_s.n_stop * 10000) div _s.n_words").alias("_sbp"),
+        F.expr(
+            "CASE WHEN _s.g2 > 0 THEN ((_s.g2 - _s.g2u) * 10000) div _s.g2"
+            " ELSE 0 END"
+        ).alias("_dbp"),
+    )
+    kept = (
+        scored.filter(
+            F.col("n_words").between(30, 120)
+            & (F.col("_sbp") >= 500)
+            & (F.col("_dbp") <= 800)
+            & F.col("_mwc").between(300, 700)
+        )
+        .withColumn("content_md5", F.md5("text"))
+        .select("doc_id", "source", "n_words", "content_md5")
+    )
+    w_dup = Window.partitionBy("content_md5").orderBy("doc_id")
+    dd = (
+        kept.withColumn("_rn", F.row_number().over(w_dup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    w_cap = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    capped = (
+        dd.withColumn("_rk", F.row_number().over(w_cap))
+        .filter(F.col("_rk") <= DOMAIN_CAP_K)
+        .drop("_rk", "content_md5")
+    )
+    sp = train_val_test_split(capped, "doc_id")
+    w_pack = Window.partitionBy("split", F.expr("doc_id % 8")).orderBy("doc_id")
+    return sp.withColumn("_cum", F.sum("n_words").over(w_pack)).select(
+        "doc_id",
+        "source",
+        "split",
+        "n_words",
+        F.expr("CAST(_cum - n_words AS BIGINT)").alias("start_offset"),
+        F.expr(f"(_cum - n_words) div {PACK_BLOCK_TOKENS}").alias(
+            "block_first"
+        ),
+    )
+
+
+ORACLE_CURATION_PIPELINE = r"""
+WITH w AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS words FROM documents
+), s AS (
+  SELECT doc_id, source, text,
+         len(words) AS n_words,
+         list_sum(list_transform(words, x -> len(x))) AS chars,
+         len(list_filter(words, x -> x IN ('the', 'a', 'of', 'to', 'and'))) AS stop,
+         CASE WHEN len(words) >= 2
+              THEN list_transform(range(1, len(words)),
+                                  i -> array_to_string(words[i:i+1], ' '))
+              ELSE [] END AS g2
+  FROM w
+), r AS (
+  SELECT doc_id, source, text, n_words,
+         (chars * 100) // n_words AS mwc,
+         (stop * 10000) // n_words AS sbp,
+         CASE WHEN len(g2) > 0
+              THEN ((len(g2) - len(list_distinct(g2))) * 10000) // len(g2)
+              ELSE 0 END AS dbp
+  FROM s
+), kept AS (
+  SELECT doc_id, source, n_words, md5(text) AS content_md5
+  FROM r
+  WHERE n_words BETWEEN 30 AND 120 AND sbp >= 500
+    AND dbp <= 800 AND mwc BETWEEN 300 AND 700
+), dd AS (
+  SELECT doc_id, source, n_words FROM (
+    SELECT *, row_number() OVER (PARTITION BY content_md5 ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+), capped AS (
+  SELECT doc_id, source, n_words FROM (
+    SELECT doc_id, source, n_words,
+           row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS rk
+    FROM dd
+  ) WHERE rk <= 15
+), sp AS (
+  SELECT doc_id, source, n_words,
+         CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 15))
+                   ::BIGINT % 1000000 < 900000 THEN 'train'
+              WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 15))
+                   ::BIGINT % 1000000 < 950000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM capped
+), packed AS (
+  SELECT doc_id, source, split, n_words,
+         sum(n_words) OVER (PARTITION BY split, doc_id % 8 ORDER BY doc_id) AS cum
+  FROM sp
+)
+SELECT doc_id, source, split, n_words,
+       (cum - n_words)::BIGINT AS start_offset,
+       ((cum - n_words) // 512)::BIGINT AS block_first
+FROM packed
+"""
+
+
 PAGERANK_ITERS = 5
 
 
@@ -2877,6 +3004,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_incremental": q_dedup_incremental,
     "graph_pagerank": q_graph_pagerank,
+    "curation_pipeline": q_curation_pipeline,
     "text_quality": q_text_quality,
     "quality_gopher": q_quality_gopher,
     "pii_scrub": q_pii_scrub,
@@ -2942,6 +3070,7 @@ ORACLES: dict[str, str] = {
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "graph_pagerank": _pagerank_oracle_sql(),
+    "curation_pipeline": ORACLE_CURATION_PIPELINE,
     "text_quality": ORACLE_TEXT_QUALITY,
     "quality_gopher": ORACLE_QUALITY_GOPHER,
     "pii_scrub": ORACLE_PII_SCRUB,
